@@ -1,0 +1,98 @@
+"""BlockFilter — fixed-size split-block Bloom filter.
+
+API parity with the reference's block family
+(``/root/reference/c/include/filter/block.h:30-68``, Python binding
+``python/block.py``), plus union/intersection (upstream TODO,
+``c/lib/block.c:68``) which serve as the mergeable-UDAF primitives.
+Serialized bytes are little-endian uint32 and byte-compatible with the
+reference's scalar/AVX2/Java layout (validated against the compiled C).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..kernels import block as K
+from ..kernels import sizing
+
+
+class BlockFilter:
+    __slots__ = ("state",)
+
+    FAMILY = "block"
+
+    def __init__(self, state: np.ndarray):
+        self.state = state
+
+    # --- constructors -------------------------------------------------
+    @classmethod
+    def create_with_bytes(cls, heap_space: int) -> "BlockFilter":
+        return cls(K.empty(K.num_buckets_for(heap_space)))
+
+    @classmethod
+    def create_with_ndv_fpp(cls, ndv: float, fpp: float) -> "BlockFilter":
+        return cls(K.empty_for_ndv_fpp(ndv, fpp))
+
+    # --- sizing model -------------------------------------------------
+    fpp = staticmethod(sizing.block_fpp)
+    bytes_needed = staticmethod(sizing.block_bytes_needed)
+    capacity = staticmethod(sizing.block_capacity)
+
+    # --- mutation / probe ----------------------------------------------
+    def add_hash(self, hash_: int) -> None:
+        K.add_hashes(self.state, np.array([hash_], dtype=np.uint64))
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        K.add_hashes(self.state, hashes)
+
+    def find_hash(self, hash_: int) -> bool:
+        return bool(K.find_hashes(self.state,
+                                  np.array([hash_], dtype=np.uint64))[0])
+
+    def find_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        return K.find_hashes(self.state, hashes)
+
+    # --- merge ----------------------------------------------------------
+    def union(self, other: "BlockFilter") -> "BlockFilter":
+        return BlockFilter(K.union(self.state, other.state))
+
+    def intersection(self, other: "BlockFilter") -> "BlockFilter":
+        return BlockFilter(K.intersection(self.state, other.state))
+
+    def union_inplace(self, other: "BlockFilter") -> None:
+        np.bitwise_or(self.state, other.state, out=self.state)
+
+    # --- serde / lifecycle ----------------------------------------------
+    def serialize(self) -> bytes:
+        return K.serialize(self.state)
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "BlockFilter":
+        return cls(K.deserialize(blob))
+
+    def size_in_bytes(self) -> int:
+        return K.size_in_bytes(self.state)
+
+    def clone(self) -> "BlockFilter":
+        return BlockFilter(self.state.copy())
+
+    def zero_out(self) -> None:
+        self.state[:] = 0
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, BlockFilter) and \
+            np.array_equal(self.state, other.state)
+
+    def __hash__(self):  # pragma: no cover
+        return hash(self.serialize())
+
+    # pythonic sugar mirroring the reference's python binding
+    def __iadd__(self, hash_: int) -> "BlockFilter":
+        self.add_hash(hash_)
+        return self
+
+    def __contains__(self, hash_: int) -> bool:
+        return self.find_hash(hash_)
+
+    def __len__(self) -> int:
+        return self.size_in_bytes()

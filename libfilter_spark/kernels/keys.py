@@ -1,0 +1,72 @@
+"""Key derivation kernels.
+
+The library's per-row invariant vs the reference: a key is the first 8
+bytes of sha256(content), interpreted big-endian as uint64 (the hex
+string prefix order). The reference consumes caller-supplied
+pseudorandom uint64 hashes (``c/include/filter/block.h:43-51``);
+sha256-derived keys satisfy that pseudorandomness contract.
+
+Spark computes ``sha2(content, 256)`` JVM-side; these kernels finish
+the conversion inside Arrow batches — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+
+def keys_from_hash_bytes(binary_col) -> np.ndarray:
+    """Series/array of 8-byte binary values → uint64 keys (big-endian)."""
+    joined = b"".join(binary_col)
+    out = np.frombuffer(joined, dtype=">u8").astype(np.uint64)
+    if out.size != len(binary_col):
+        raise ValueError("expected exactly 8 bytes per value")
+    return out
+
+
+def keys_from_hex(hex_col) -> np.ndarray:
+    """Series/array of >=16-char hex digests → uint64 keys from the
+    first 16 hex chars (== first 8 digest bytes, big-endian)."""
+    joined = bytes.fromhex("".join(h[:16] for h in hex_col))
+    return np.frombuffer(joined, dtype=">u8").astype(np.uint64)
+
+
+def sha256_key(content: str | bytes) -> int:
+    """Single-value oracle: uint64 key of one content string."""
+    if isinstance(content, str):
+        content = content.encode("utf-8")
+    return int.from_bytes(hashlib.sha256(content).digest()[:8], "big")
+
+
+def sha256_keys(contents) -> np.ndarray:
+    """Batch local oracle (driver-side tests only — the distributed
+    path uses JVM sha2)."""
+    return np.array([sha256_key(c) for c in contents], dtype=np.uint64)
+
+
+def to_signed(keys: np.ndarray) -> np.ndarray:
+    """uint64 keys → int64 view (two's complement) for LongType columns."""
+    return keys.view(np.int64) if keys.dtype == np.uint64 else \
+        keys.astype(np.uint64).view(np.int64)
+
+
+def to_unsigned(signed: np.ndarray) -> np.ndarray:
+    """int64 LongType column → uint64 keys."""
+    arr = np.asarray(signed, dtype=np.int64)
+    return arr.view(np.uint64)
+
+
+def splitmix64(n: int, seed: int = 0x9E3779B97F4A7C15) -> np.ndarray:
+    """Deterministic pseudorandom uint64 test keys (SplitMix64 stream).
+
+    Mirrors the reference tests' seeded-PRNG key fixtures
+    (``java/.../FilterTest.java:17``, ``c/extras/test/static.c:22-24``)
+    without copying their generators.
+    """
+    i = np.arange(1, n + 1, dtype=np.uint64)
+    z = np.uint64(seed) + i * np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
