@@ -1,38 +1,203 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship Bloom-semi-join at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2);
+each callable (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted for
+non-SQL-expressible ops → driver runs rows-only check).
+
+Column names are aliased identically on both sides; monetary sums are
+aggregated as DECIMAL(18,2) then cast to DOUBLE so both engines emit
+bit-identical values.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from libfilter_spark.sources.tables import load_table
+from libfilter_spark.spark.build import build_filters
+from libfilter_spark.spark.keys import with_content_key
+from libfilter_spark.spark.probe import filter_semi_join, probe_with_filters
+
+SF0001 = "/root/testdata/sf0.001"
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _keyed(df: DataFrame, col: str) -> DataFrame:
+    """Attach sha256-derived keys for an arbitrary column (cast to
+    string first — the reference's 'caller supplies pseudorandom
+    hashes' contract, block.h:43-51)."""
+    return with_content_key(df.withColumn("__c", F.col(col).cast("string")),
+                            "__c").drop("__c")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-semi-join queries: the filter prunes the probe side before the
+# exact verification join — answers are exact, so DuckDB can oracle them.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "bloom_semijoin_orders_customers",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    GROUP BY o_orderpriority
+    """)
+def q_bloom_semijoin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").where("c_acctbal > 5000")
+    orders = load_table(spark, sf_dir, "orders")
+    build = _keyed(customer, "c_custkey")
+    probe = _keyed(orders, "o_custkey")
+    filters = build_filters(build, group_cols=None, ndv=1 << 16, fpp=0.01)
+    hits = filter_semi_join(probe, build, filters, group_cols=None)
+    return (hits.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_price")))
+
+
+@_register(
+    "bloom_semijoin_lineitem_parts",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 25)
+    GROUP BY l_returnflag
+    """)
+def q_bloom_semijoin_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").where("p_size >= 25")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    build = _keyed(part, "p_partkey")
+    probe = _keyed(lineitem, "l_partkey")
+    filters = build_filters(build, group_cols=None, ndv=1 << 16, fpp=0.01)
+    hits = filter_semi_join(probe, build, filters, group_cols=None)
+    return (hits.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_qty")))
+
+
+@_register(
+    "bloom_antijoin_orders_customers",
+    """
+    SELECT COUNT(*) AS n_orphans
+    FROM orders
+    WHERE o_custkey NOT IN
+          (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """)
+def q_bloom_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join via filter: rows that MISS the filter are definite
+    non-members (zero false negatives); only filter *hits* need the
+    exact check. At scale the exact join sees ~hit-rate of the data."""
+    customer = (load_table(spark, sf_dir, "customer")
+                .where("c_mktsegment = 'BUILDING'"))
+    orders = load_table(spark, sf_dir, "orders")
+    build = _keyed(customer, "c_custkey")
+    probe = _keyed(orders, "o_custkey")
+    filters = build_filters(build, group_cols=None, ndv=1 << 16, fpp=0.01)
+    probed = probe_with_filters(probe, filters, group_cols=None)
+    definite_miss = probed.where(~F.col("maybe_seen")).select("key")
+    need_check = probed.where(F.col("maybe_seen")).select("key")
+    true_members = build.select("key").distinct()
+    confirmed_miss = need_check.join(true_members, on="key", how="left_anti")
+    return (definite_miss.unionAll(confirmed_miss)
+            .agg(F.count(F.lit(1)).alias("n_orphans")))
+
+
+# ---------------------------------------------------------------------------
+# Exact content dedup over sha256 keys (documents table)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "dedup_exact_by_lang",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT substring(sha256(text), 1, 16)) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT substring(sha256(text), 1, 16)) AS n_dup
+    FROM documents
+    GROUP BY lang
+    """)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_content_key(load_table(spark, sf_dir, "documents"), "text")
+    return (docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("key_hex").alias("n_distinct"),
+                 (F.count(F.lit(1)) - F.countDistinct("key_hex"))
+                 .alias("n_dup")))
+
+
+# ---------------------------------------------------------------------------
+# Filter-audit queries (rows-only: filter state is not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+@_register("filter_build_audit_block")
+def q_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang block-filter build over document contents: metadata +
+    zero-false-negative self-check. Rows-only driver check; the pytest
+    suite asserts the semantics."""
+    docs = with_content_key(load_table(spark, sf_dir, "documents"), "text")
+    filters = build_filters(docs, ["lang"], ndv=1 << 14, fpp=0.01)
+    probed = probe_with_filters(docs, filters, ["lang"])
+    stats = (probed.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.col("maybe_seen").cast("long")).alias("n_found")))
+    meta = filters.select("lang", "n_keys", "n_partials",
+                          F.length("filter").alias("filter_bytes"))
+    return meta.join(stats, on="lang")
+
+
+@_register("filter_build_audit_taffy_block")
+def q_filter_audit_taffy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_content_key(load_table(spark, sf_dir, "documents"), "text")
+    filters = build_filters(docs, ["lang"], family="taffy_block",
+                            ndv=64, fpp=0.01)
+    probed = probe_with_filters(docs, filters, ["lang"])
+    stats = (probed.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.col("maybe_seen").cast("long")).alias("n_found")))
+    meta = filters.select("lang", "n_keys",
+                          F.length("filter").alias("filter_bytes"))
+    return meta.join(stats, on="lang")
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Bloom-semi-join of orders against high-balance
+    customers at sf0.001."""
+    return q_bloom_semijoin_orders(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

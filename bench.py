@@ -1,0 +1,97 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the registered driver-contract queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus
+synthetic filter build/probe throughput sweeps (the reference's own
+headline metric: keys/sec — BASELINE.md §A).
+
+Extra fields beyond the required contract: per-second key throughputs
+for build and probe, so rounds are comparable against the reference's
+28.6 ns/key (block insert) and 86.5 ns/key (block lookup) anchors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BUILD_KEYS = int(os.environ.get("SPARK_GRAFT_BENCH_KEYS", 5_000_000))
+
+
+def synth_keys(spark, n: int):
+    """n deterministic sha256-derived keys, JVM-side derivation."""
+    from pyspark.sql import functions as F
+    from libfilter_spark.spark.keys import with_content_key
+    df = spark.range(0, n).withColumn("content",
+                                      F.col("id").cast("string"))
+    return with_content_key(df, "content", hex_col=None).select("key")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from libfilter_spark.spark.session import get_spark
+    from libfilter_spark.spark.build import build_filters
+    from libfilter_spark.spark.probe import probe_with_filters
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("libfilter-bench", cpus=cpus)
+    spark.range(1 << 20).count()  # JVM warmup
+
+    queries: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    extras: dict[str, float] = {}
+    # --- filter build throughput (global block filter, fpp=0.004 like
+    # the reference growth sweep) ---------------------------------------
+    keys = synth_keys(spark, BUILD_KEYS)
+    keys.count()  # materialize the parquet-free input path once (warm)
+    t0 = time.perf_counter()
+    filters = build_filters(keys, group_cols=None, ndv=BUILD_KEYS, fpp=0.004)
+    blob_row = filters.collect()[0]
+    build_s = time.perf_counter() - t0
+    extras["build_block_keys_per_sec"] = round(BUILD_KEYS / build_s)
+    extras["build_block_sec"] = round(build_s, 3)
+    extras["build_block_filter_bytes"] = len(blob_row["filter"])
+    queries["build_block_5m"] = round(build_s, 3)
+
+    # --- probe throughput (broadcast + vectorized membership) ----------
+    filters_df = spark.createDataFrame(
+        [(blob_row["family"], blob_row["params"], blob_row["n_keys"],
+          blob_row["n_partials"], blob_row["filter"])],
+        "family string, params string, n_keys long, n_partials long, filter binary")
+    t0 = time.perf_counter()
+    found = (probe_with_filters(keys, filters_df, group_cols=None)
+             .where("maybe_seen").count())
+    probe_s = time.perf_counter() - t0
+    assert found == BUILD_KEYS, f"false negatives: {found} != {BUILD_KEYS}"
+    extras["probe_block_keys_per_sec"] = round(BUILD_KEYS / probe_s)
+    queries["probe_block_5m"] = round(probe_s, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""Distributed filter build — Spark's partial+final aggregate shape.
+
+Stage 1 (map-side combine, ``mapInPandas``): every task folds its
+input batches into one partial filter per group it sees. No row
+shuffle happens — a task emits one (group, blob) row per group, so
+the only shuffled payload is KB-sized filter state. This is the
+distributed analogue of the reference's single-process insert loop
+(``c/include/filter/block.h:127-138``), and the reason the design
+scales: at 100 TB the shuffle carries ~(tasks × groups) blobs, not
+10^12 rows.
+
+Stage 2 (final merge, ``applyInPandas``): per group, fold partial
+blobs with the family's union (OR for block families —
+``c/lib/block.c:68``'s TODO implemented; the TCF union algorithm of
+``c/lib/taffy-cuckoo.c:260-348`` for cuckoo filters).
+
+Families must be *mergeable* for this path. The static XOR filter
+(one-shot bulk build, no union — ``c/lib/static.c:12-82``) uses the
+grouped path: a real shuffle of (group, key) pairs, one bulk build
+per group via ``applyInPandas``.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
+                               StructType)
+
+from ..filters import FAMILIES
+from ..kernels.keys import to_unsigned
+
+
+def create_filter(family: str, ndv: int, fpp: float):
+    cls = FAMILIES[family]
+    if family == "block":
+        return cls.create_with_ndv_fpp(ndv, fpp)
+    return cls.create(ndv, fpp)
+
+
+def _keys_from_series(s: pd.Series) -> np.ndarray:
+    """LongType (int64) or 8-byte binary series → uint64 keys."""
+    if s.dtype == object:  # binary
+        from ..kernels.keys import keys_from_hash_bytes
+        return keys_from_hash_bytes(s.to_numpy())
+    return to_unsigned(s.to_numpy())
+
+
+def _result_schema(df: DataFrame, group_cols: list[str]) -> StructType:
+    fields = [f for f in df.schema.fields if f.name in group_cols]
+    # preserve group_cols order
+    by_name = {f.name: f for f in fields}
+    out = [StructField(c, by_name[c].dataType) for c in group_cols]
+    out += [
+        StructField("family", StringType()),
+        StructField("params", StringType()),
+        StructField("n_keys", LongType()),
+        StructField("n_partials", LongType()),
+        StructField("filter", BinaryType()),
+    ]
+    return StructType(out)
+
+
+def build_filters(df: DataFrame, group_cols: list[str] | None,
+                  key_col: str = "key", family: str = "block",
+                  ndv: int = 1 << 20, fpp: float = 0.01) -> DataFrame:
+    """Build one filter per group over ``df[key_col]`` (int64 two's-
+    complement uint64 keys or 8-byte binary).
+
+    Returns a small DataFrame: group_cols + (family, params, n_keys,
+    n_partials, filter). ``ndv`` is the per-group capacity hint: exact
+    size for the fixed-size block family, level-0 seed for the taffy
+    families (which grow past it freely).
+    """
+    group_cols = list(group_cols or [])
+    if family == "static_xor":
+        return _build_grouped(df, group_cols, key_col, family, ndv, fpp)
+
+    params = json.dumps({"ndv": int(ndv), "fpp": float(fpp)})
+    proj = df.select(*group_cols, key_col)
+    partial_schema = _result_schema(proj, group_cols)
+
+    def partial_builder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, object] = {}
+        counts: dict[tuple, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if group_cols:
+                grouped = pdf.groupby(group_cols, sort=False)[key_col]
+                for g, keys_s in grouped:
+                    g = g if isinstance(g, tuple) else (g,)
+                    f = acc.get(g)
+                    if f is None:
+                        f = acc[g] = create_filter(family, ndv, fpp)
+                        counts[g] = 0
+                    f.add_hashes(_keys_from_series(keys_s))
+                    counts[g] += len(keys_s)
+            else:
+                g = ()
+                f = acc.get(g)
+                if f is None:
+                    f = acc[g] = create_filter(family, ndv, fpp)
+                    counts[g] = 0
+                f.add_hashes(_keys_from_series(pdf[key_col]))
+                counts[g] += len(pdf)
+        if acc:
+            rows = {}
+            for i, c in enumerate(group_cols):
+                rows[c] = [g[i] for g in acc]
+            rows["family"] = [family] * len(acc)
+            rows["params"] = [params] * len(acc)
+            rows["n_keys"] = [counts[g] for g in acc]
+            rows["n_partials"] = [1] * len(acc)
+            rows["filter"] = [f.serialize() for f in acc.values()]
+            yield pd.DataFrame(rows)
+
+    partials = proj.mapInPandas(partial_builder, schema=partial_schema)
+    return merge_filter_blobs(partials, group_cols)
+
+
+def merge_filter_blobs(partials: DataFrame,
+                       group_cols: list[str]) -> DataFrame:
+    """Final merge of partial filter rows → one row per group.
+
+    Merge order is made deterministic (sort by blob bytes) so that
+    OR-merge families produce byte-identical results regardless of
+    task scheduling — the north-rule associativity contract.
+    """
+    schema = partials.schema
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        fam = pdf["family"].iloc[0]
+        cls = FAMILIES[fam]
+        blobs = sorted(pdf["filter"], key=bytes)
+        acc = cls.deserialize(blobs[0])
+        for b in blobs[1:]:
+            acc = acc.union(cls.deserialize(b))
+        out = {c: [pdf[c].iloc[0]] for c in group_cols}
+        out["family"] = [fam]
+        out["params"] = [pdf["params"].iloc[0]]
+        out["n_keys"] = [int(pdf["n_keys"].sum())]
+        out["n_partials"] = [int(pdf["n_partials"].sum())]
+        out["filter"] = [acc.serialize()]
+        return pd.DataFrame(out)
+
+    if group_cols:
+        return partials.groupBy(*group_cols).applyInPandas(merge, schema=schema)
+    # global filter: single group — tiny data, one task
+    return (partials.withColumn("__g", F.lit(0)).groupBy("__g")
+            .applyInPandas(
+                lambda pdf: merge(pdf.drop(columns="__g")), schema=schema))
+
+
+def _build_grouped(df: DataFrame, group_cols: list[str], key_col: str,
+                   family: str, ndv: int, fpp: float) -> DataFrame:
+    """Shuffle-then-bulk-build path for non-mergeable families
+    (static XOR: needs every group key in one task —
+    ``c/lib/static.c:12-82``). Memory bound: 8 bytes × group rows."""
+    from ..filters.static_xor import StaticXorFilter
+
+    params = json.dumps({"ndv": int(ndv), "fpp": float(fpp)})
+    proj = df.select(*group_cols, key_col)
+    schema = _result_schema(proj, group_cols)
+
+    def bulk(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = np.unique(_keys_from_series(pdf[key_col]))
+        f = StaticXorFilter.construct(keys)
+        out = {c: [pdf[c].iloc[0]] for c in group_cols}
+        out["family"] = [family]
+        out["params"] = [params]
+        out["n_keys"] = [len(keys)]
+        out["n_partials"] = [1]
+        out["filter"] = [f.serialize()]
+        return pd.DataFrame(out)
+
+    if group_cols:
+        return proj.groupBy(*group_cols).applyInPandas(bulk, schema=schema)
+    return (proj.withColumn("__g", F.lit(0)).groupBy("__g")
+            .applyInPandas(lambda pdf: bulk(pdf.drop(columns="__g")),
+                           schema=schema))

@@ -1,0 +1,50 @@
+"""DataFrame-side key derivation — all JVM, no Python in the hot path.
+
+Per-row invariant vs the reference: key = first 8 bytes of
+sha256(content), big-endian uint64 (the reference consumes
+caller-supplied pseudorandom u64 hashes, ``c/include/filter/block.h:43-51``).
+
+Columns produced:
+- ``key_hex``: first 16 hex chars of sha2 — portable, joins/oracles.
+- ``key``: the same value as signed int64 (two's-complement view of
+  the uint64) — 8-byte shuffle payload instead of a 16-byte string;
+  this is what the kernels consume (``to_unsigned``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KEY_COL = "key"
+KEY_HEX_COL = "key_hex"
+
+_U63 = "9223372036854775807"   # 2^63 - 1
+_U64 = "18446744073709551616"  # 2^64
+
+
+def key_hex_col(content: Column | str) -> Column:
+    c = F.col(content) if isinstance(content, str) else content
+    return F.substring(F.sha2(c, 256), 1, 16)
+
+
+def key_i64_from_hex(hex16: Column) -> Column:
+    """16 hex chars → signed int64 (two's-complement of the uint64).
+
+    ``conv`` parses unsigned 64-bit hex exactly; the decimal(20,0)
+    round-trip keeps values above 2^63 exact before re-centering.
+    """
+    d = F.conv(hex16, 16, 10).cast("decimal(20,0)")
+    return (F.when(d > F.lit(_U63).cast("decimal(20,0)"),
+                   d - F.lit(_U64).cast("decimal(21,0)"))
+            .otherwise(d)).cast("long")
+
+
+def with_content_key(df: DataFrame, content_col: str = "content",
+                     key_col: str = KEY_COL,
+                     hex_col: str | None = KEY_HEX_COL) -> DataFrame:
+    hx = key_hex_col(content_col)
+    if hex_col:
+        df = df.withColumn(hex_col, hx)
+        hx = F.col(hex_col)
+    return df.withColumn(key_col, key_i64_from_hex(hx))

@@ -1,0 +1,104 @@
+"""Distributed membership probe — the Bloom-join pattern.
+
+The merged filters (KBs–MBs per group) are broadcast to every task;
+``mapInPandas`` adds a vectorized membership column (the batched
+analogue of ``libfilter_block_find_hash``, ``block.h:140-152``). A
+probe row only *may* be present (false positives); the semi-join
+helper follows the probe with an exact join against the (pre-pruned)
+build side, so query answers stay exact while the filter discards the
+vast majority of rows before any row shuffle — at scale this is what
+turns a 100 TB shuffle into a few-GB shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..filters import FAMILIES
+from .build import _keys_from_series
+
+# executor-local cache: broadcast token → {group: filter object}.
+# Keyed by an explicit uuid shipped inside the broadcast value (NOT
+# id(bc): CPython reuses ids after GC, which poisons the cache).
+_FILTER_CACHE: dict[str, dict] = {}
+_FILTER_CACHE_MAX = 16
+
+
+def collect_filters(filters_df: DataFrame, group_cols: list[str]) -> dict:
+    """Small filters DataFrame → {group_tuple: (family, blob)}."""
+    rows = filters_df.select(*group_cols, "family", "filter").collect()
+    return {tuple(r[c] for c in group_cols): (r["family"], bytes(r["filter"]))
+            for r in rows}
+
+
+def _materialize(bc) -> dict:
+    token, filter_map = bc.value
+    cached = _FILTER_CACHE.get(token)
+    if cached is None:
+        cached = {g: FAMILIES[fam].deserialize(blob)
+                  for g, (fam, blob) in filter_map.items()}
+        while len(_FILTER_CACHE) >= _FILTER_CACHE_MAX:
+            _FILTER_CACHE.pop(next(iter(_FILTER_CACHE)))
+        _FILTER_CACHE[token] = cached
+    return cached
+
+
+def probe_with_filters(df: DataFrame, filters_df: DataFrame,
+                       group_cols: list[str] | None,
+                       key_col: str = "key",
+                       result_col: str = "maybe_seen") -> DataFrame:
+    """Add a boolean ``result_col``: does ``key_col`` hit the group's
+    filter? Rows whose group has no filter get False. Keys may be
+    int64 (two's-complement uint64) or 8-byte binary."""
+    group_cols = list(group_cols or [])
+    spark = df.sparkSession
+    import uuid
+    bc = spark.sparkContext.broadcast(
+        (uuid.uuid4().hex, collect_filters(filters_df, group_cols)))
+    from pyspark.sql.types import BooleanType, StructField, StructType
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(result_col, BooleanType())])
+    names = [f.name for f in df.schema.fields]
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        filters = _materialize(bc)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pd.Series(False, index=pdf.index)
+            if group_cols:
+                for g, sub in pdf.groupby(group_cols, sort=False):
+                    g = g if isinstance(g, tuple) else (g,)
+                    f = filters.get(g)
+                    if f is not None:
+                        out.loc[sub.index] = f.find_hashes(
+                            _keys_from_series(sub[key_col]))
+            else:
+                f = filters.get(())
+                if f is not None:
+                    out[:] = f.find_hashes(_keys_from_series(pdf[key_col]))
+            pdf = pdf[names].copy()
+            pdf[result_col] = out
+            yield pdf
+
+    return df.mapInPandas(probe, schema=schema)
+
+
+def filter_semi_join(probe_df: DataFrame, build_df: DataFrame,
+                     filters_df: DataFrame,
+                     group_cols: list[str] | None,
+                     key_col: str = "key") -> DataFrame:
+    """Exact semi-join accelerated by the filter: probe rows that miss
+    every filter are dropped *before* the join shuffle (zero false
+    negatives guarantees no lost matches); survivors are exact-verified
+    with a left-semi join on (group, key)."""
+    group_cols = list(group_cols or [])
+    candidates = (probe_with_filters(probe_df, filters_df, group_cols, key_col)
+                  .where(F.col("maybe_seen")).drop("maybe_seen"))
+    on = group_cols + [key_col]
+    build_keys = build_df.select(*on).dropDuplicates(on)
+    return candidates.join(build_keys, on=on, how="left_semi")
