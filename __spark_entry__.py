@@ -128,6 +128,32 @@ def q_bloom_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orphans")))
 
 
+@_register(
+    "cuckoo_semijoin_events_users",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal >= 0)
+    GROUP BY event_type
+    """)
+def q_cuckoo_semijoin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same Bloom-join shape but with the growable taffy-cuckoo family
+    as the pruning filter (union-merged across partials)."""
+    customer = load_table(spark, sf_dir, "customer").where("c_acctbal >= 0")
+    events = load_table(spark, sf_dir, "events")
+    build = _keyed(customer, "c_custkey")
+    probe = _keyed(events, "user_id")
+    filters = build_filters(build, group_cols=None, family="taffy_cuckoo",
+                            ndv=1 << 12, fpp=0.01)
+    hits = filter_semi_join(probe, build, filters, group_cols=None)
+    return (hits.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_value")))
+
+
 # ---------------------------------------------------------------------------
 # Exact content dedup over sha256 keys (documents table)
 # ---------------------------------------------------------------------------
@@ -176,6 +202,47 @@ def q_filter_audit_taffy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_content_key(load_table(spark, sf_dir, "documents"), "text")
     filters = build_filters(docs, ["lang"], family="taffy_block",
                             ndv=64, fpp=0.01)
+    probed = probe_with_filters(docs, filters, ["lang"])
+    stats = (probed.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.col("maybe_seen").cast("long")).alias("n_found")))
+    meta = filters.select("lang", "n_keys",
+                          F.length("filter").alias("filter_bytes"))
+    return meta.join(stats, on="lang")
+
+
+@_register(
+    "xor_semijoin_lineitem_suppliers",
+    """
+    SELECT l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0)
+    GROUP BY l_linestatus
+    """)
+def q_xor_semijoin_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static XOR filter as the pruning structure: bulk-built per group
+    via the grouped (shuffle) path since XOR filters have no union
+    (reference static.c has no add/merge)."""
+    supplier = load_table(spark, sf_dir, "supplier").where("s_acctbal > 0")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    build = _keyed(supplier, "s_suppkey")
+    probe = _keyed(lineitem, "l_suppkey")
+    filters = build_filters(build, group_cols=None, family="static_xor")
+    hits = filter_semi_join(probe, build, filters, group_cols=None)
+    return (hits.groupBy("l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_price")))
+
+
+@_register("filter_build_audit_taffy_cuckoo")
+def q_filter_audit_tcf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_content_key(load_table(spark, sf_dir, "documents"), "text")
+    filters = build_filters(docs, ["lang"], family="taffy_cuckoo",
+                            ndv=256, fpp=0.01)
     probed = probe_with_filters(docs, filters, ["lang"])
     stats = (probed.groupBy("lang")
              .agg(F.count(F.lit(1)).alias("n_docs"),

@@ -5,11 +5,17 @@
 numpy batch kernels."""
 
 from .block import BlockFilter
+from .static_xor import StaticXorFilter
 from .taffy_block import TaffyBlockFilter
+from .taffy_cuckoo import FrozenTaffyCuckooFilter, TaffyCuckooFilter
 
 FAMILIES = {
     "block": BlockFilter,
     "taffy_block": TaffyBlockFilter,
+    "taffy_cuckoo": TaffyCuckooFilter,
+    "frozen_taffy_cuckoo": FrozenTaffyCuckooFilter,
+    "static_xor": StaticXorFilter,
 }
 
-__all__ = ["BlockFilter", "TaffyBlockFilter", "FAMILIES"]
+__all__ = ["BlockFilter", "TaffyBlockFilter", "TaffyCuckooFilter",
+           "FrozenTaffyCuckooFilter", "StaticXorFilter", "FAMILIES"]
