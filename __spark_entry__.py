@@ -253,6 +253,106 @@ def q_filter_audit_tcf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Companion sketches (north-rule additions): the estimate itself is not
+# SQL-expressible, but the error-envelope CONTRACT is — the query emits
+# booleans the oracle can predict, so the driver's hash check still bites.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "hll_distinct_within_bound",
+    """
+    SELECT lang, TRUE AS within_bound FROM documents GROUP BY lang
+    """)
+def q_hll_within_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang HLL distinct-content estimate must sit within 3x the
+    published 1.04/sqrt(m) relative error of the exact distinct count."""
+    import pandas as pd
+
+    from libfilter_spark.sketches import HyperLogLog
+    from libfilter_spark.spark.sketch_build import build_sketches
+
+    docs = with_content_key(load_table(spark, sf_dir, "documents"), "text")
+    sk = build_sketches(docs, ["lang"], "key", kind="hll", p=14)
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct("key_hex").alias("exact_distinct"))
+    rows = sk.join(exact, on="lang").collect()
+    out = []
+    for r in rows:
+        h = HyperLogLog.deserialize(bytes(r["sketch"]))
+        err = abs(h.estimate() - r["exact_distinct"]) / max(
+            r["exact_distinct"], 1)
+        out.append((r["lang"], bool(err <= 3 * h.relative_error())))
+    return spark.createDataFrame(pd.DataFrame(
+        out, columns=["lang", "within_bound"]))
+
+
+@_register(
+    "cms_frequency_within_bound",
+    """
+    SELECT event_type, TRUE AS never_underestimates, TRUE AS within_eps
+    FROM events GROUP BY event_type
+    """)
+def q_cms_within_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global CountMin over event_type keys: estimates must dominate
+    exact counts and stay within eps*N (3x slack)."""
+    import pandas as pd
+
+    from libfilter_spark.sketches import CountMinSketch
+    from libfilter_spark.spark.sketch_build import build_sketches
+    from libfilter_spark.kernels.keys import sha256_key
+
+    events = _keyed(load_table(spark, sf_dir, "events"), "event_type")
+    sk = build_sketches(events, None, "key", kind="countmin",
+                        depth=5, width=2048)
+    exact = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")).collect()
+    cms = CountMinSketch.deserialize(bytes(sk.collect()[0]["sketch"]))
+    out = []
+    for r in exact:
+        import numpy as np
+        key = np.array([sha256_key(str(r["event_type"]))], dtype=np.uint64)
+        est = int(cms.estimate(key)[0])
+        out.append((r["event_type"], bool(est >= r["n"]),
+                    bool(est - r["n"] <= 3 * cms.epsilon * cms.total)))
+    return spark.createDataFrame(pd.DataFrame(
+        out, columns=["event_type", "never_underestimates", "within_eps"]))
+
+
+@_register(
+    "quantile_sketches_within_bound",
+    """
+    SELECT 'kll' AS sketch, TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q99_ok
+    UNION ALL
+    SELECT 'tdigest' AS sketch, TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q99_ok
+    """)
+def q_quantiles_within_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL and t-digest over lineitem extended prices: each estimated
+    quantile's true rank must be within 0.03 of its target."""
+    import pandas as pd
+
+    from libfilter_spark.sketches import KLLSketch, TDigest
+    from libfilter_spark.spark.sketch_build import build_sketches
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"))
+    kll_df = build_sketches(li, None, "v", kind="kll", k=200)
+    td_df = build_sketches(li, None, "v", kind="tdigest", delta=100.0)
+    kll = KLLSketch.deserialize(bytes(kll_df.collect()[0]["sketch"]))
+    td = TDigest.deserialize(bytes(td_df.collect()[0]["sketch"]))
+    total = li.count()
+    out = []
+    for name, sk in (("kll", kll), ("tdigest", td)):
+        oks = []
+        for q in (0.25, 0.50, 0.99):
+            est = sk.quantile(q)
+            rank = li.where(F.col("v") <= est).count() / total
+            oks.append(bool(abs(rank - q) <= 0.03))
+        out.append((name, *oks))
+    return spark.createDataFrame(pd.DataFrame(
+        out, columns=["sketch", "q25_ok", "q50_ok", "q99_ok"]))
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
