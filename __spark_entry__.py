@@ -253,6 +253,73 @@ def q_filter_audit_tcf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Text analysis over documents — pure JVM expressions, oracle-translated
+# ---------------------------------------------------------------------------
+
+def _text_oracle(select_body: str) -> str:
+    from libfilter_spark.functions.text import oracle_sql_snippets
+    sn = oracle_sql_snippets("text")
+    return select_body.format(**sn)
+
+
+def _register_text_queries():
+    from libfilter_spark.functions import text as T
+
+    @_register(
+        "text_stats_by_lang",
+        _text_oracle("""
+        SELECT lang,
+               SUM({n_tokens}) AS total_tokens,
+               SUM({n_subwords}) AS total_subwords,
+               SUM(CAST(floor(({quality}) * 1000000000) AS BIGINT))
+                   AS sum_quality_e9
+        FROM documents GROUP BY lang
+        """))
+    def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # quality is summed as floor(q*1e9) integers: double addition is
+        # order-sensitive across engines/partitionings, integer sums are
+        # exact — keeps the oracle hash stable at any parallelism
+        docs = load_table(spark, sf_dir, "documents")
+        c = F.col("text")
+        return (docs.groupBy("lang")
+                .agg(F.sum(T.token_count(c)).alias("total_tokens"),
+                     F.sum(T.subword_estimate(c)).alias("total_subwords"),
+                     F.sum(F.floor(T.quality_score(c) * 1e9).cast("long"))
+                     .alias("sum_quality_e9")))
+
+    @_register(
+        "text_quality_filter",
+        _text_oracle("""
+        SELECT doc_id, {n_tokens} AS n_tokens
+        FROM documents
+        WHERE {quality} >= 0.75 AND {n_tokens} >= 40
+        """))
+    def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        c = F.col("text")
+        return (docs
+                .withColumn("__q", T.quality_score(c))
+                .withColumn("n_tokens", T.token_count(c))
+                .where((F.col("__q") >= 0.75) & (F.col("n_tokens") >= 40))
+                .select("doc_id", "n_tokens"))
+
+    @_register(
+        "lang_id_confusion",
+        _text_oracle("""
+        SELECT lang, {lang_pred} AS lang_pred, COUNT(*) AS n
+        FROM documents GROUP BY lang, {lang_pred}
+        """))
+    def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return (docs.withColumn("lang_pred", T.lang_id(F.col("text")))
+                .groupBy("lang", "lang_pred")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+
+_register_text_queries()
+
+
+# ---------------------------------------------------------------------------
 # Companion sketches (north-rule additions): the estimate itself is not
 # SQL-expressible, but the error-envelope CONTRACT is — the query emits
 # booleans the oracle can predict, so the driver's hash check still bites.
@@ -350,6 +417,106 @@ def q_quantiles_within_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.append((name, *oks))
     return spark.createDataFrame(pd.DataFrame(
         out, columns=["sketch", "q25_ok", "q50_ok", "q99_ok"]))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search + dedup + multimodal (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.embedding, c.embedding) AS cos
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 (the ANN correctness baseline):
+    broadcast query matrix, per-task GEMM, local top-k, tiny shuffle."""
+    from libfilter_spark.functions.similarity import cosine_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 3")
+    return cosine_topk(emb, queries, k=5)
+
+
+@_register("ann_lsh_recall")
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the 100TB path) measured against the exact
+    baseline: per-query recall@10. Rows-only (recall is stochastic in
+    the hyperplane draw, deterministic given the fixed seed)."""
+    from libfilter_spark.functions.similarity import cosine_topk, lsh_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 10")
+    exact = cosine_topk(emb, queries, k=10) \
+        .select("query_id", F.col("neighbor_id").alias("exact_n"))
+    approx = lsh_topk(emb, queries, k=10, n_bits=8, probe_hamming=2) \
+        .select("query_id", F.col("neighbor_id").alias("approx_n"))
+    hits = exact.join(approx,
+                      (exact.query_id == approx.query_id)
+                      & (exact.exact_n == approx.approx_n)) \
+        .groupBy(exact.query_id).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (exact.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+            .join(hits, on="query_id", how="left")
+            .fillna(0, subset=["n_hits"])
+            .withColumn("recall", F.col("n_hits") / F.col("n_exact"))
+            .select("query_id", "n_hits", "recall"))
+
+
+@_register("dedup_minhash_lsh")
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over documents (J >= 0.5), exact-
+    verified. Rows-only: testdata documents are near-unique, so this
+    mostly proves the pipeline runs; planted-duplicate recall is
+    asserted in pytest on the synthetic source-code table."""
+    from libfilter_spark.functions.dedup import minhash_lsh_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", k=64, bands=16,
+                             threshold=0.5)
+
+
+@_register("dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from libfilter_spark.functions.dedup import simhash_near_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@_register("doc_fingerprints")
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints per doc (MOSS-style)."""
+    from libfilter_spark.functions.dedup import fingerprint_df
+    docs = load_table(spark, sf_dir, "documents")
+    fp = fingerprint_df(docs, "doc_id", "text")
+    return (fp.join(docs.select("doc_id", "lang"), on="doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_grams").alias("total_fingerprints")))
+
+
+@_register("multimodal_feature_audit")
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload media table → stubbed decode → feature extract;
+    exercises the real Arrow plumbing (schema, batching, hashing)."""
+    from libfilter_spark.functions.multimodal import (extract_features,
+                                                      frame_sample_plan,
+                                                      synthetic_media_table)
+    media = synthetic_media_table(spark, 300)
+    feats = extract_features(media, strict=False)
+    plan = frame_sample_plan(media, fps=0.5)
+    agg = (feats.groupBy("kind")
+           .agg(F.count(F.lit(1)).alias("n_media"),
+                F.countDistinct("payload_sha").alias("n_distinct_payloads")))
+    frames = plan.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+    return agg.withColumn("total_video_frames_planned", F.lit(int(frames)))
 
 
 # ---------------------------------------------------------------------------

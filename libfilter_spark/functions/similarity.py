@@ -1,0 +1,228 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Scale pattern: queries are broadcast as one dense matrix; each task
+  computes a (batch × queries) GEMM and emits only its local top-k per
+  query, so the shuffle carries n_partitions × n_queries × k rows, not
+  the corpus.
+- ``lsh_topk``: random-hyperplane LSH bucketing — the 100TB path.
+  Corpus vectors hash to sign-bit buckets; queries probe their bucket
+  plus all Hamming-1 neighbors, then re-rank exactly inside the
+  candidate set. Recall < 1 by design; tests measure it.
+- ``embedding_near_pairs``: near-duplicate vector pairs (cos >= t) via
+  bucketed self-join + exact verification.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                               StructField, StructType)
+
+from ..kernels.keys import splitmix64
+
+
+def _matrix(series: pd.Series) -> np.ndarray:
+    return np.array([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine → (query_id, neighbor_id, rank). Ranks are
+    1-based; ties broken by neighbor id (deterministic). Self-matches
+    (same id) are excluded."""
+    spark = corpus.sparkSession
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[query_id_col] for r in qrows])
+    qmat = _normalize(np.array([np.asarray(r[vec_col], dtype=np.float64)
+                                for r in qrows]))
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    schema = StructType([
+        StructField("query_id", corpus.schema[id_col].dataType),
+        StructField("neighbor_id", corpus.schema[id_col].dataType),
+        StructField("cosine", DoubleType()),
+    ])
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qmat_ = bc.value
+        best: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = _normalize(_matrix(pdf[vec_col]))
+            sims = m @ qmat_.T                      # (batch, n_queries)
+            for qi in range(len(qids_)):
+                col = sims[:, qi]
+                mask = ids != qids_[qi]
+                cand_ids, cand_sims = ids[mask], col[mask]
+                if len(cand_ids) == 0:
+                    continue
+                take = min(k, len(cand_ids))
+                part = np.argpartition(-cand_sims, take - 1)[:take]
+                prev = best.get(qi)
+                merged_ids = cand_ids[part]
+                merged_sims = cand_sims[part]
+                if prev is not None:
+                    merged_ids = np.concatenate([prev[0], merged_ids])
+                    merged_sims = np.concatenate([prev[1], merged_sims])
+                    take = min(k, len(merged_ids))
+                    part2 = np.argpartition(-merged_sims, take - 1)[:take]
+                    merged_ids, merged_sims = merged_ids[part2], \
+                        merged_sims[part2]
+                best[qi] = (merged_ids, merged_sims)
+        rows = []
+        for qi, (nids, sims) in best.items():
+            for nid, s in zip(nids, sims):
+                rows.append((qids_[qi], nid, float(s)))
+        if rows:
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id",
+                                              "cosine"])
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(local_topk,
+                                                         schema=schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (partial.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+# --- LSH-bucketed ANN ------------------------------------------------------
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 0x5EED) -> np.ndarray:
+    """Deterministic pseudo-Gaussian hyperplanes from splitmix bits."""
+    raw = splitmix64(dim * n_bits * 2, seed=seed).astype(np.float64)
+    u1 = raw[: dim * n_bits] / 2.0**64
+    u2 = raw[dim * n_bits:] / 2.0**64
+    u1 = np.clip(u1, 1e-12, 1 - 1e-12)
+    g = np.sqrt(-2 * np.log(u1)) * np.cos(2 * np.pi * u2)  # Box-Muller
+    return g.reshape(n_bits, dim)
+
+
+def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0]))[None, :]
+    return (bits * weights).sum(axis=1).astype(np.int64)
+
+
+def lsh_buckets(df: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding", n_bits: int = 12,
+                dim: int = 64, seed: int = 0x5EED) -> DataFrame:
+    """→ (id, bucket) via random-hyperplane signs."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType),
+        StructField("bucket", LongType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _normalize(_matrix(pdf[vec_col]))
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "bucket": _bucket_of(m, planes)})
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_bits: int = 10, dim: int = 64,
+             probe_hamming: int = 1) -> DataFrame:
+    """ANN: probe the query's bucket (+ Hamming-<=probe_hamming
+    neighbors), exact re-rank inside candidates → (query_id,
+    neighbor_id, rank). Approximate: recall measured in tests."""
+    buckets = lsh_buckets(corpus, id_col, vec_col, n_bits, dim)
+    corpus_b = corpus.join(buckets, on=id_col)
+    qb = lsh_buckets(queries, id_col, vec_col, n_bits, dim)
+    # expand each query to its probe set
+    flips = [0] + [1 << i for i in range(n_bits)] if probe_hamming >= 1 \
+        else [0]
+    if probe_hamming >= 2:
+        flips += [(1 << i) | (1 << j) for i in range(n_bits)
+                  for j in range(i + 1, n_bits)]
+    probe = (qb.withColumn("flip", F.explode(F.array(
+        *[F.lit(x) for x in flips])))
+        .select(F.col(id_col).alias("query_id"),
+                F.col("bucket").bitwiseXOR(F.col("flip")).alias("bucket")))
+    cands = (probe.join(corpus_b.select(F.col(id_col).alias("neighbor_id"),
+                                        "bucket", F.col(vec_col)
+                                        .alias("__nvec")), on="bucket")
+             .where(F.col("query_id") != F.col("neighbor_id"))
+             .dropDuplicates(["query_id", "neighbor_id"]))
+    qvecs = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("__qvec"))
+    joined = cands.join(F.broadcast(qvecs), on="query_id")
+
+    schema = StructType([
+        StructField("query_id", corpus.schema[id_col].dataType),
+        StructField("neighbor_id", corpus.schema[id_col].dataType),
+        StructField("cosine", DoubleType()),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = _normalize(_matrix(pdf["__qvec"]))
+            nv = _normalize(_matrix(pdf["__nvec"]))
+            cos = (q * nv).sum(axis=1)
+            yield pd.DataFrame({"query_id": pdf["query_id"],
+                                "neighbor_id": pdf["neighbor_id"],
+                                "cosine": cos})
+
+    scored = joined.mapInPandas(score, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+def embedding_near_pairs(df: DataFrame, threshold: float = 0.9,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding", n_bits: int = 8,
+                         dim: int = 64) -> DataFrame:
+    """Near-duplicate vectors: bucketed self-join candidates, exact
+    cosine verification → (id_a, id_b, cosine >= threshold)."""
+    b = lsh_buckets(df, id_col, vec_col, n_bits, dim)
+    withb = df.join(b, on=id_col)
+    l = withb.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("__va"), "bucket")
+    r = withb.select(F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("__vb"), "bucket")
+    cand = l.join(r, on="bucket").where(F.col("id_a") < F.col("id_b"))
+
+    schema = StructType([
+        StructField("id_a", df.schema[id_col].dataType),
+        StructField("id_b", df.schema[id_col].dataType),
+        StructField("cosine", DoubleType()),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = _normalize(_matrix(pdf["__va"]))
+            vb = _normalize(_matrix(pdf["__vb"]))
+            cos = (va * vb).sum(axis=1)
+            yield pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"],
+                                "cosine": cos})
+
+    return (cand.mapInPandas(score, schema=schema)
+            .where(F.col("cosine") >= threshold))

@@ -1,0 +1,152 @@
+"""Training-data pipeline op tests: planted-duplicate recall for
+MinHash-LSH and SimHash, exact ANN vs numpy oracle, LSH-ANN recall on
+clustered vectors, winnowing stability, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import pyspark.sql.functions as F
+
+from libfilter_spark.functions.dedup import (minhash_lsh_pairs,
+                                             simhash_near_pairs,
+                                             winnow_fingerprints)
+from libfilter_spark.functions.similarity import (cosine_topk,
+                                                  embedding_near_pairs,
+                                                  lsh_topk)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """120 docs; ids 100.. are near-copies of ids 0..19 (one token
+    changed) — must be found by both MinHash-LSH and SimHash."""
+    rng = np.random.default_rng(42)
+    vocab = [f"tok{i}" for i in range(500)]
+    rows = []
+    base = []
+    for i in range(100):
+        words = list(rng.choice(vocab, size=60))
+        base.append(words)
+        rows.append((i, " ".join(words)))
+    for j in range(20):
+        words = list(base[j])
+        words[30] = "MUTATED"
+        rows.append((100 + j, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_minhash_lsh_finds_planted_near_dups(planted_docs):
+    pairs = minhash_lsh_pairs(planted_docs, "doc_id", "text",
+                              k=64, bands=16, threshold=0.7).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(j, 100 + j) for j in range(20)}
+    recall = len(found & expected) / len(expected)
+    assert recall >= 0.95, (recall, sorted(expected - found))
+    # precision: every returned pair genuinely has J >= 0.7
+    assert all(r.jaccard >= 0.7 for r in pairs)
+
+
+def test_simhash_finds_planted_near_dups(planted_docs):
+    pairs = simhash_near_pairs(planted_docs, "doc_id", "text",
+                               max_hamming=8).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(j, 100 + j) for j in range(20)}
+    recall = len(found & expected) / len(expected)
+    assert recall >= 0.6, recall  # simhash is the coarser detector
+    for r in pairs:
+        assert 0 <= r.hamming <= 8
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    """300 vectors in 10 tight clusters — the regime where LSH-ANN
+    shines (unlike the uniform-random testdata embeddings)."""
+    rng = np.random.default_rng(43)
+    centers = rng.normal(size=(10, 64)) * 5
+    rows = []
+    for i in range(300):
+        c = i % 10
+        v = centers[c] + rng.normal(size=64) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<float>") \
+        .cache()
+
+
+def test_cosine_topk_matches_numpy_oracle(clustered_vectors):
+    rows = clustered_vectors.collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    got = cosine_topk(clustered_vectors,
+                      clustered_vectors.where("vec_id < 5"), k=7).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for q in range(5):
+        sims = m @ m[ids == q].ravel()
+        order = np.lexsort((ids, -sims))
+        expect = [int(ids[i]) for i in order if ids[i] != q][:7]
+        mine = [nid for _, nid in sorted(by_q[q])]
+        assert mine == expect, (q, mine, expect)
+
+
+def test_lsh_topk_high_recall_on_clusters(clustered_vectors):
+    queries = clustered_vectors.where("vec_id < 10")
+    exact = cosine_topk(clustered_vectors, queries, k=10).collect()
+    approx = lsh_topk(clustered_vectors, queries, k=10, n_bits=8,
+                      probe_hamming=2).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ap = {}
+    for r in approx:
+        ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_embedding_near_pairs_finds_cluster_twins(spark):
+    rng = np.random.default_rng(44)
+    base = rng.normal(size=(20, 64))
+    rows = []
+    for i in range(20):
+        rows.append((i, [float(x) for x in base[i]]))
+        rows.append((100 + i,
+                     [float(x) for x in base[i] + rng.normal(size=64) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_pairs(df, threshold=0.99, n_bits=6).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(i, 100 + i) for i in range(20)}
+    assert len(found & expected) / len(expected) >= 0.9
+
+
+def test_winnowing_stable_and_local():
+    t1 = "the quick brown fox jumps over the lazy dog " * 5
+    f1 = winnow_fingerprints(t1)
+    assert np.array_equal(f1, winnow_fingerprints(t1))  # deterministic
+    # a local edit changes few fingerprints
+    t2 = t1.replace("lazy", "hazy", 1)
+    f2 = winnow_fingerprints(t2)
+    overlap = len(np.intersect1d(f1, f2)) / max(len(f1), len(f2))
+    assert overlap > 0.5
+    # disjoint text shares almost nothing
+    f3 = winnow_fingerprints("completely different content here xyz " * 6)
+    assert len(np.intersect1d(f1, f3)) / max(len(f1), len(f3)) < 0.1
+
+
+def test_multimodal_strict_mode_raises(spark):
+    from libfilter_spark.functions.multimodal import (extract_features,
+                                                      synthetic_media_table)
+    media = synthetic_media_table(spark, 10)
+    with pytest.raises(Exception):  # NotImplementedError inside executor
+        extract_features(media, strict=True).collect()
+
+
+def test_multimodal_features_deterministic(spark):
+    from libfilter_spark.functions.multimodal import (extract_features,
+                                                      synthetic_media_table)
+    media = synthetic_media_table(spark, 50)
+    a = extract_features(media).orderBy("media_id").collect()
+    b = extract_features(media.repartition(5)).orderBy("media_id").collect()
+    assert [r.feature for r in a] == [r.feature for r in b]
+    assert all(len(r.feature) == 16 for r in a)
