@@ -238,6 +238,33 @@ def q_xor_semijoin_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_price")))
 
 
+@_register("filter_build_audit_minimal_taffy")
+def q_filter_audit_mtcf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinimalTaffyCuckoo per-lang build (build+probe family; merge =
+    rebuild, SURVEY.md §2.6): grouped bulk build, zero-FN self-check."""
+    import pandas as pd
+
+    from libfilter_spark.filters.minimal_taffy import MinimalTaffyCuckooFilter
+    from libfilter_spark.kernels.keys import to_unsigned
+
+    docs = with_content_key(load_table(spark, sf_dir, "documents"), "text")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        keys = to_unsigned(pdf["key"].to_numpy())
+        f = MinimalTaffyCuckooFilter.create_with_bytes(1)
+        f.add_hashes(keys)
+        found = int(f.find_hashes(keys).sum())
+        return pd.DataFrame({
+            "lang": [pdf["lang"].iloc[0]],
+            "n_docs": [len(pdf)], "n_found": [found],
+            "filter_bytes": [len(f.serialize())]})
+
+    return (docs.select("lang", "key").groupBy("lang")
+            .applyInPandas(build, schema="lang string, n_docs long, "
+                                         "n_found long, filter_bytes long"))
+
+
 @_register("filter_build_audit_taffy_cuckoo")
 def q_filter_audit_tcf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_content_key(load_table(spark, sf_dir, "documents"), "text")

@@ -5,6 +5,7 @@
 numpy batch kernels."""
 
 from .block import BlockFilter
+from .minimal_taffy import MinimalTaffyCuckooFilter
 from .static_xor import StaticXorFilter
 from .taffy_block import TaffyBlockFilter
 from .taffy_cuckoo import FrozenTaffyCuckooFilter, TaffyCuckooFilter
@@ -15,7 +16,9 @@ FAMILIES = {
     "taffy_cuckoo": TaffyCuckooFilter,
     "frozen_taffy_cuckoo": FrozenTaffyCuckooFilter,
     "static_xor": StaticXorFilter,
+    "minimal_taffy_cuckoo": MinimalTaffyCuckooFilter,
 }
 
 __all__ = ["BlockFilter", "TaffyBlockFilter", "TaffyCuckooFilter",
-           "FrozenTaffyCuckooFilter", "StaticXorFilter", "FAMILIES"]
+           "FrozenTaffyCuckooFilter", "StaticXorFilter",
+           "MinimalTaffyCuckooFilter", "FAMILIES"]

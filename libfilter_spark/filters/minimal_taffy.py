@@ -403,6 +403,14 @@ class MinimalTaffyCuckooFilter:
                              self.rng.current, self.rng.remaining_bits),
                  struct.pack("<24Q", *self.entropy)]
         for s in range(2):
+            # hi/lo swap on cursor wrap must survive serde — store the
+            # effective keys, not just the entropy table
+            side = self.sides[s]
+            parts.append(struct.pack(
+                "<8Q", side.hi[0][0], side.hi[0][1], side.hi[1][0],
+                side.hi[1][1], side.lo[0][0], side.lo[0][1],
+                side.lo[1][0], side.lo[1][1]))
+        for s in range(2):
             side = self.sides[s]
             for lvl_i, lv in enumerate(side.levels):
                 parts.append(struct.pack("<I", lv.shape[0]))
@@ -429,6 +437,11 @@ class MinimalTaffyCuckooFilter:
         f.rng.state, f.rng.inc = st, inc
         f.rng.current, f.rng.remaining_bits = cur, rem
         for s in range(2):
+            k = struct.unpack_from("<8Q", blob, off)
+            off += 64
+            f.sides[s].hi = ((k[0], k[1]), (k[2], k[3]))
+            f.sides[s].lo = ((k[4], k[5]), (k[6], k[7]))
+        for s in range(2):
             side = f.sides[s]
             for i in range(LEVELS):
                 (nb,) = struct.unpack_from("<I", blob, off)
@@ -453,6 +466,7 @@ class MinimalTaffyCuckooFilter:
                 and self.cursor == other.cursor
                 and self.occupied == other.occupied
                 and all(a.stash == b.stash
+                        and a.hi == b.hi and a.lo == b.lo
                         and all(np.array_equal(x, y)
                                 for x, y in zip(a.levels, b.levels))
                         for a, b in zip(self.sides, other.sides)))
