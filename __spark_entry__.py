@@ -238,6 +238,37 @@ def q_xor_semijoin_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_price")))
 
 
+@_register("checkpointed_salted_build_audit")
+def q_checkpointed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted, checkpointed, resumable build (north-rule): build
+    per-lang filters in (group, salt) units with lineage + metrics,
+    resume from the checkpoint, assert identical state, report both."""
+    import tempfile
+
+    from libfilter_spark.spark.checkpoint import (checkpoint_metrics,
+                                                  checkpointed_build)
+
+    docs = with_content_key(load_table(spark, sf_dir, "documents"), "text")
+    with tempfile.TemporaryDirectory() as tmp:
+        first = checkpointed_build(spark, docs, ["lang"], tmp,
+                                   ndv=1 << 14, fpp=0.01, n_salts=4)
+        blobs1 = {r["lang"]: bytes(r["filter"]) for r in first.collect()}
+        resumed = checkpointed_build(spark, docs, ["lang"], tmp,
+                                     ndv=1 << 14, fpp=0.01, n_salts=4)
+        blobs2 = {r["lang"]: bytes(r["filter"]) for r in resumed.collect()}
+        metrics = checkpoint_metrics(spark, tmp)
+        agg = (metrics.groupBy("family")
+               .agg(F.count(F.lit(1)).alias("n_units"),
+                    F.sum("n_keys").alias("total_keys"),
+                    F.countDistinct("lineage_id").alias("n_lineages"))
+               ).collect()[0]
+    import pandas as pd
+    return spark.createDataFrame(pd.DataFrame([{
+        "family": agg["family"], "n_units": agg["n_units"],
+        "total_keys": agg["total_keys"], "n_lineages": agg["n_lineages"],
+        "resume_identical": blobs1 == blobs2}]))
+
+
 @_register("filter_build_audit_minimal_taffy")
 def q_filter_audit_mtcf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinimalTaffyCuckoo per-lang build (build+probe family; merge =

@@ -5,6 +5,7 @@
 numpy batch kernels."""
 
 from .block import BlockFilter
+from .bloom import BloomFilter
 from .minimal_taffy import MinimalTaffyCuckooFilter
 from .static_xor import StaticXorFilter
 from .taffy_block import TaffyBlockFilter
@@ -12,6 +13,7 @@ from .taffy_cuckoo import FrozenTaffyCuckooFilter, TaffyCuckooFilter
 
 FAMILIES = {
     "block": BlockFilter,
+    "bloom": BloomFilter,
     "taffy_block": TaffyBlockFilter,
     "taffy_cuckoo": TaffyCuckooFilter,
     "frozen_taffy_cuckoo": FrozenTaffyCuckooFilter,
@@ -19,6 +21,6 @@ FAMILIES = {
     "minimal_taffy_cuckoo": MinimalTaffyCuckooFilter,
 }
 
-__all__ = ["BlockFilter", "TaffyBlockFilter", "TaffyCuckooFilter",
+__all__ = ["BlockFilter", "BloomFilter", "TaffyBlockFilter", "TaffyCuckooFilter",
            "FrozenTaffyCuckooFilter", "StaticXorFilter",
            "MinimalTaffyCuckooFilter", "FAMILIES"]
