@@ -113,13 +113,22 @@ def checkpointed_build(spark: SparkSession, df: DataFrame,
     partial_path = f"{checkpoint_dir.rstrip('/')}/partials"
     unit_cols = group_cols + [SALT_COL]
 
-    try:
-        existing = spark.read.parquet(partial_path)
-        done = existing.select(*unit_cols).distinct()
-        has_existing = True
-    except Exception:
-        done = None
-        has_existing = False
+    import os
+    has_existing = False
+    done = None
+    # cheap local-path existence probe first (avoids a noisy logged
+    # AnalysisException on first build); fall back to try-read for
+    # non-local filesystems
+    if not partial_path.startswith(("hdfs:", "s3:", "s3a:", "gs:")) and \
+            not os.path.exists(partial_path):
+        pass
+    else:
+        try:
+            existing = spark.read.parquet(partial_path)
+            done = existing.select(*unit_cols).distinct()
+            has_existing = True
+        except Exception:
+            pass
 
     salted_keys = with_salt(df.select(*group_cols, key_col), key_col,
                             n_salts)
