@@ -45,9 +45,10 @@ def _register(name: str, oracle: str | None = None):
 def _keyed(df: DataFrame, col: str) -> DataFrame:
     """Attach sha256-derived keys for an arbitrary column (cast to
     string first — the reference's 'caller supplies pseudorandom
-    hashes' contract, block.h:43-51)."""
-    return with_content_key(df.withColumn("__c", F.col(col).cast("string")),
-                            "__c").drop("__c")
+    hashes' contract, block.h:43-51). Binary keys: the fast path."""
+    from libfilter_spark.spark.keys import with_content_key_bin
+    return with_content_key_bin(
+        df.withColumn("__c", F.col(col).cast("string")), "__c").drop("__c")
 
 
 # ---------------------------------------------------------------------------

@@ -23,12 +23,13 @@ BUILD_KEYS = int(os.environ.get("SPARK_GRAFT_BENCH_KEYS", 5_000_000))
 
 
 def synth_keys(spark, n: int):
-    """n deterministic sha256-derived keys, JVM-side derivation."""
+    """n deterministic sha256-derived keys, JVM-side derivation
+    (binary fast path — no per-row Python, no decimal math)."""
     from pyspark.sql import functions as F
-    from libfilter_spark.spark.keys import with_content_key
+    from libfilter_spark.spark.keys import with_content_key_bin
     df = spark.range(0, n).withColumn("content",
                                       F.col("id").cast("string"))
-    return with_content_key(df, "content", hex_col=None).select("key")
+    return with_content_key_bin(df, "content").select("key")
 
 
 def main() -> None:

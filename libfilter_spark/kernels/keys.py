@@ -33,6 +33,29 @@ def keys_from_hex(hex_col) -> np.ndarray:
     return np.frombuffer(joined, dtype=">u8").astype(np.uint64)
 
 
+def keys_from_arrow(arr) -> np.ndarray:
+    """pyarrow (binary or int64) Array → uint64 keys, zero-copy where
+    the layout allows (fixed 8-byte values, contiguous data buffer)."""
+    import pyarrow as pa
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        return arr.to_numpy(zero_copy_only=False).astype(np.int64) \
+            .view(np.uint64)
+    off = arr.offset
+    n = len(arr)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                            count=n + 1, offset=4 * off)
+    start = int(offsets[0])
+    if (offsets[-1] - start) == 8 * n and \
+            (np.diff(offsets) == 8).all():
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8,
+                             count=8 * n, offset=start)
+        return data.view(">u8").astype(np.uint64)
+    # ragged fallback (shouldn't happen for sha-derived keys)
+    return keys_from_hex([v.as_py().hex() for v in arr])
+
+
 def sha256_key(content: str | bytes) -> int:
     """Single-value oracle: uint64 key of one content string."""
     if isinstance(content, str):

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -53,39 +54,52 @@ def probe_with_filters(df: DataFrame, filters_df: DataFrame,
                        result_col: str = "maybe_seen") -> DataFrame:
     """Add a boolean ``result_col``: does ``key_col`` hit the group's
     filter? Rows whose group has no filter get False. Keys may be
-    int64 (two's-complement uint64) or 8-byte binary."""
+    int64 (two's-complement uint64) or 8-byte binary.
+
+    Implemented as a vectorized Arrow scalar UDF so only the key (and
+    group) columns cross the Python boundary — every other column of a
+    wide probe table stays JVM-side (at 100 TB the probe input is the
+    big table; shipping whole rows through Arrow would dominate)."""
     group_cols = list(group_cols or [])
     spark = df.sparkSession
     import uuid
+
+    import pyarrow as pa
+    from pyspark.sql.functions import ArrowUDFType, arrow_udf
+
+    from ..kernels.keys import keys_from_arrow
+
     bc = spark.sparkContext.broadcast(
         (uuid.uuid4().hex, collect_filters(filters_df, group_cols)))
-    from pyspark.sql.types import BooleanType, StructField, StructType
-    schema = StructType(list(df.schema.fields)
-                        + [StructField(result_col, BooleanType())])
-    names = [f.name for f in df.schema.fields]
 
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        filters = _materialize(bc)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            out = pd.Series(False, index=pdf.index)
-            if group_cols:
-                for g, sub in pdf.groupby(group_cols, sort=False):
-                    g = g if isinstance(g, tuple) else (g,)
-                    f = filters.get(g)
-                    if f is not None:
-                        out.loc[sub.index] = f.find_hashes(
-                            _keys_from_series(sub[key_col]))
-            else:
-                f = filters.get(())
+    if group_cols:
+        def probe(*cols):
+            filters = _materialize(bc)
+            keys = keys_from_arrow(cols[-1])
+            gdf = pd.DataFrame(
+                {i: c.to_pandas() for i, c in enumerate(cols[:-1])})
+            out = np.zeros(len(keys), dtype=bool)
+            for g, sub in gdf.groupby(list(gdf.columns), sort=False):
+                g = g if isinstance(g, tuple) else (g,)
+                f = filters.get(g)
                 if f is not None:
-                    out[:] = f.find_hashes(_keys_from_series(pdf[key_col]))
-            pdf = pdf[names].copy()
-            pdf[result_col] = out
-            yield pdf
+                    idx = sub.index.to_numpy()
+                    out[idx] = f.find_hashes(keys[idx])
+            return pa.array(out)
 
-    return df.mapInPandas(probe, schema=schema)
+        udf = arrow_udf(probe, "boolean", ArrowUDFType.SCALAR)
+        args = [F.col(c) for c in group_cols] + [F.col(key_col)]
+        return df.withColumn(result_col, udf(*args))
+
+    def probe_global(keys):
+        filters = _materialize(bc)
+        f = filters.get(())
+        if f is None:
+            return pa.array(np.zeros(len(keys), dtype=bool))
+        return pa.array(f.find_hashes(keys_from_arrow(keys)))
+
+    udf = arrow_udf(probe_global, "boolean", ArrowUDFType.SCALAR)
+    return df.withColumn(result_col, udf(F.col(key_col)))
 
 
 def filter_semi_join(probe_df: DataFrame, build_df: DataFrame,

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
                                StructType)
 
-from ..kernels.keys import to_unsigned
+from .build import _keys_from_series
 from ..sketches import SKETCHES
 
 _KEY_SKETCHES = {"hll", "countmin"}
@@ -29,7 +29,7 @@ def _create(kind: str, params: dict):
 
 def _values(kind: str, s: pd.Series):
     if kind in _KEY_SKETCHES:
-        return to_unsigned(s.to_numpy())
+        return _keys_from_series(s)  # int64 or 8-byte binary keys
     return s.to_numpy(dtype="float64", na_value=float("nan"))
 
 
