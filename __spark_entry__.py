@@ -579,6 +579,129 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Contract-property audits (SURVEY.md §5 invariants as queries)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "fpp_curve_conformance",
+    """
+    SELECT 'block' AS family, TRUE AS within_model UNION ALL
+    SELECT 'bloom' AS family, TRUE AS within_model UNION ALL
+    SELECT 'taffy_block' AS family, TRUE AS within_model
+    """)
+def q_fpp_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured FPP vs model curve (BASELINE.md §C): build per-family
+    filters over lineitem orderkey-line keys, probe disjoint synthetic
+    keys, assert measured <= model + 5 sigma. The distributed build and
+    probe run through the full pipeline."""
+    import pandas as pd
+
+    from libfilter_spark.kernels.sizing import block_fpp
+    from libfilter_spark.filters import BloomFilter
+
+    li = load_table(spark, sf_dir, "lineitem")
+    build = _keyed(
+        li.withColumn("__k", F.concat_ws("-", "l_orderkey", "l_linenumber")),
+        "__k").dropDuplicates(["key"])
+    n_build = build.count()
+    absent = _keyed(load_table(spark, sf_dir, "events"), "event_id")
+    n_absent = absent.count()
+    out = []
+    for family in ("block", "bloom", "taffy_block"):
+        filters = build_filters(build, None, family=family,
+                                ndv=max(n_build, 1024), fpp=0.01)
+        row = filters.collect()[0]
+        hits = probe_with_filters(absent, filters, None) \
+            .where("maybe_seen").count()
+        measured = hits / max(n_absent, 1)
+        fbytes = len(row["filter"])
+        if family == "bloom":
+            f = BloomFilter.deserialize(bytes(row["filter"]))
+            model = BloomFilter.fpp_model(n_build, f.m_bits, f.k)
+        else:
+            # taffy_block at a single level is a block filter; use the
+            # total size as the (conservative) model input
+            model = block_fpp(n_build, fbytes if family == "block"
+                              else fbytes)
+        sigma = (model * (1 - model) / max(n_absent, 1)) ** 0.5
+        out.append((family, bool(measured <= model + 5 * sigma + 1e-6)))
+    return spark.createDataFrame(pd.DataFrame(
+        out, columns=["family", "within_model"]))
+
+
+@_register(
+    "merge_order_associativity",
+    """
+    SELECT 'block' AS family, TRUE AS byte_identical UNION ALL
+    SELECT 'taffy_block' AS family, TRUE AS byte_identical UNION ALL
+    SELECT 'hll' AS family, TRUE AS byte_identical UNION ALL
+    SELECT 'countmin' AS family, TRUE AS byte_identical
+    """)
+def q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule merge-associativity contract, exercised through the
+    distributed pipeline: build at 3 different partitionings, assert
+    byte-identical merged state for the lattice families."""
+    import pandas as pd
+
+    from libfilter_spark.spark.sketch_build import build_sketches
+
+    docs = with_content_key(load_table(spark, sf_dir, "documents"), "text")
+    out = []
+    for family in ("block", "taffy_block"):
+        blobs = set()
+        for parts in (1, 3, 7):
+            flt = build_filters(docs.repartition(parts), ["lang"],
+                                family=family, ndv=4096, fpp=0.01)
+            blobs.add(tuple(sorted(
+                (r["lang"], bytes(r["filter"])) for r in flt.collect())))
+        out.append((family, len(blobs) == 1))
+    for kind in ("hll", "countmin"):
+        blobs = set()
+        for parts in (1, 3, 7):
+            sk = build_sketches(docs.repartition(parts), ["lang"], "key",
+                                kind=kind)
+            blobs.add(tuple(sorted(
+                (r["lang"], bytes(r["sketch"])) for r in sk.collect())))
+        out.append((kind, len(blobs) == 1))
+    return spark.createDataFrame(pd.DataFrame(
+        out, columns=["family", "byte_identical"]))
+
+
+@_register("frozen_tcf_broadcast_probe")
+def q_frozen_tcf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freeze a taffy-cuckoo filter (tail-less SWAR probe structure,
+    taffy-cuckoo.c:127-160) and broadcast-probe with it: smaller blob,
+    zero false negatives; reports both sizes + hit stats."""
+    import pandas as pd
+
+    from libfilter_spark.filters import TaffyCuckooFilter
+
+    docs = with_content_key(load_table(spark, sf_dir, "documents"), "text")
+    filters = build_filters(docs, ["lang"], family="taffy_cuckoo",
+                            ndv=512, fpp=0.01)
+    rows = filters.collect()
+    frozen_rows = []
+    for r in rows:
+        tcf = TaffyCuckooFilter.deserialize(bytes(r["filter"]))
+        fr = tcf.freeze()
+        frozen_rows.append((r["lang"], "frozen_taffy_cuckoo", r["params"],
+                            r["n_keys"], r["n_partials"], fr.serialize(),
+                            len(bytes(r["filter"])), len(fr.serialize())))
+    frozen_df = spark.createDataFrame(
+        pd.DataFrame(frozen_rows, columns=[
+            "lang", "family", "params", "n_keys", "n_partials", "filter",
+            "thawed_bytes", "frozen_bytes"]))
+    probed = probe_with_filters(
+        docs, frozen_df.select("lang", "family", "params", "n_keys",
+                               "n_partials", "filter"), ["lang"])
+    stats = (probed.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.col("maybe_seen").cast("long")).alias("n_found")))
+    return frozen_df.select("lang", "thawed_bytes", "frozen_bytes") \
+        .join(stats, on="lang")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 

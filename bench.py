@@ -56,13 +56,26 @@ def main() -> None:
 
     extras: dict[str, float] = {}
     # --- filter build throughput (global block filter, fpp=0.004 like
-    # the reference growth sweep) ---------------------------------------
+    # the reference growth sweep); min-of-2 after a worker warmup pass
+    # (matches the reference's min-of-N methodology, taffy.tex:1787) ---
     keys = synth_keys(spark, BUILD_KEYS)
     keys.count()  # materialize the parquet-free input path once (warm)
-    t0 = time.perf_counter()
-    filters = build_filters(keys, group_cols=None, ndv=BUILD_KEYS, fpp=0.004)
-    blob_row = filters.collect()[0]
-    build_s = time.perf_counter() - t0
+    import pandas as pd
+
+    def _noop(batches):
+        for _ in batches:
+            pass
+        yield pd.DataFrame({"n": [0]})
+    keys.mapInPandas(_noop, schema="n long").count()  # warm py workers
+
+    build_s = float("inf")
+    blob_row = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        filters = build_filters(keys, group_cols=None, ndv=BUILD_KEYS,
+                                fpp=0.004)
+        blob_row = filters.collect()[0]
+        build_s = min(build_s, time.perf_counter() - t0)
     extras["build_block_keys_per_sec"] = round(BUILD_KEYS / build_s)
     extras["build_block_sec"] = round(build_s, 3)
     extras["build_block_filter_bytes"] = len(blob_row["filter"])
@@ -73,11 +86,13 @@ def main() -> None:
         [(blob_row["family"], blob_row["params"], blob_row["n_keys"],
           blob_row["n_partials"], blob_row["filter"])],
         "family string, params string, n_keys long, n_partials long, filter binary")
-    t0 = time.perf_counter()
-    found = (probe_with_filters(keys, filters_df, group_cols=None)
-             .where("maybe_seen").count())
-    probe_s = time.perf_counter() - t0
-    assert found == BUILD_KEYS, f"false negatives: {found} != {BUILD_KEYS}"
+    probe_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        found = (probe_with_filters(keys, filters_df, group_cols=None)
+                 .where("maybe_seen").count())
+        probe_s = min(probe_s, time.perf_counter() - t0)
+        assert found == BUILD_KEYS, f"false negatives: {found}"
     extras["probe_block_keys_per_sec"] = round(BUILD_KEYS / probe_s)
     queries["probe_block_5m"] = round(probe_s, 3)
 

@@ -22,7 +22,7 @@ import sys
 
 JOB = r"""
 import json, os, sys, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, "@REPO@")
 from pyspark.sql import functions as F
 from libfilter_spark.spark.session import get_spark
 from libfilter_spark.spark.keys import with_content_key_bin
@@ -37,21 +37,37 @@ spark.range(1 << 22).count()  # JVM + codegen warmup
 df = (spark.range(0, n, numPartitions=2 * cpus)
       .withColumn("content", F.col("id").cast("string")))
 keys = with_content_key_bin(df, "content").select("key")
-keys.count()  # warm the scan path once
+keys.count()  # warm the scan path
 
-t0 = time.perf_counter()
-filters = build_filters(keys, None, ndv=n, fpp=0.004)
-row = filters.collect()[0]
-build_s = time.perf_counter() - t0
+# warm the Python workers (this sandbox shows bursty first-stage
+# worker startup); min-of-3 trials below matches the reference's
+# min-of-7 methodology (taffy.tex:1787)
+import pandas as pd
+def _noop(batches):
+    for pdf in batches:
+        pass
+    yield pd.DataFrame({"n": [0]})
+keys.mapInPandas(_noop, schema="n long").count()
+
+build_s = float("inf")
+row = None
+for _ in range(3):
+    t0 = time.perf_counter()
+    filters = build_filters(keys, None, ndv=n, fpp=0.004)
+    row = filters.collect()[0]
+    build_s = min(build_s, time.perf_counter() - t0)
 
 filters_df = spark.createDataFrame(
     [(row["family"], row["params"], row["n_keys"], row["n_partials"],
       row["filter"])],
     "family string, params string, n_keys long, n_partials long, filter binary")
-t0 = time.perf_counter()
-found = probe_with_filters(keys, filters_df, None).where("maybe_seen").count()
-probe_s = time.perf_counter() - t0
-assert found == n, (found, n)
+probe_s = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    found = probe_with_filters(keys, filters_df, None) \
+        .where("maybe_seen").count()
+    probe_s = min(probe_s, time.perf_counter() - t0)
+    assert found == n, (found, n)
 print(json.dumps({"cpus": cpus, "n": n,
                   "build_s": round(build_s, 3),
                   "probe_s": round(probe_s, 3),
@@ -65,7 +81,8 @@ spark.stop()
 def run_at(cpus: int, n: int) -> dict:
     repo = os.path.dirname(os.path.abspath(__file__))
     out = subprocess.run(
-        [sys.executable, "-c", JOB.format(repo=repo), str(cpus), str(n)],
+        [sys.executable, "-c", JOB.replace("@REPO@", repo), str(cpus),
+         str(n)],
         capture_output=True, text=True, timeout=1200, cwd=repo)
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-2000:])
