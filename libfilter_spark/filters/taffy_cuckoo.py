@@ -170,9 +170,183 @@ class TaffyCuckooFilter:
             0, _to_path(int(k), self.sides[0].keys, self.log_side_size))
         return True
 
-    def add_hashes(self, hashes: np.ndarray) -> None:
+    def add_hashes_exact(self, hashes: np.ndarray) -> None:
+        """Sequential inserts with the reference's exact per-key order —
+        bit-identical state to the C library (used by parity tests)."""
         for k in hashes:
             self.add_hash(int(k))
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        """Vectorized batch insert (the Spark hot path).
+
+        Set-preserving and deterministic for a given batch sequence,
+        but the kick order differs from per-key C insertion, so the
+        byte layout is probe-equivalent rather than bit-identical
+        (same contract as union, SURVEY.md §7.3). Fast path: batch
+        to_path → drop already-present keys → vectorized placement
+        into empty side-0 slots → scalar kick loop only for leftovers.
+        """
+        h = np.asarray(hashes, dtype=np.uint64)
+        pos = 0
+        while pos < len(h):
+            # upsize until the chunk fits under the growth triggers
+            while (self.occupied + 4 >= self.capacity
+                   or self.occupied > 0.90 * self.capacity
+                   or len(self.sides[0].stash)
+                   + len(self.sides[1].stash) > 8):
+                self._upsize_vec()
+            room = int(0.90 * self.capacity) - self.occupied
+            take = max(1, min(room, len(h) - pos))
+            self._add_chunk(h[pos:pos + take])
+            pos += take
+
+    def _add_chunk(self, h: np.ndarray) -> None:
+        log = self.log_side_size
+        pre_shift = np.uint64(64 - log - HEAD)
+        tail_shift = np.uint64(64 - log - HEAD - TAIL)
+        ptail = ((h >> tail_shift) & np.uint64((1 << TAIL) - 1)) * \
+            np.uint64(2) + np.uint64(1)
+        side0 = self.sides[0]
+        hashed = feistel_forward_batch(side0.keys, log + HEAD,
+                                       h >> pre_shift)
+        bucket = (hashed >> np.uint64(HEAD)).astype(np.int64)
+        fp = (hashed & np.uint64(FP_MASK)).astype(np.int64)
+        tail = ptail.astype(np.int64)
+
+        # skip keys already present (probe says yes ⇒ inserting would
+        # change nothing observable; zero-FN contract preserved)
+        present = self.find_hashes(h)
+        todo = np.flatnonzero(~present)
+        if len(todo) == 0:
+            return
+        bucket, fp, tail = bucket[todo], fp[todo], tail[todo]
+
+        # drop duplicate (bucket, fp) within the chunk (keep first) —
+        # mirrors the dedup branch of side_insert for identical paths
+        trip = (bucket << np.int64(16)) | (fp << np.int64(6)) | tail
+        _, first_idx = np.unique(trip, return_index=True)
+        first_idx.sort()
+        bucket, fp, tail = bucket[first_idx], fp[first_idx], \
+            tail[first_idx]
+
+        # vectorized placement: empty side-0 slots first, then translate
+        # the spill to side 1 (backward/forward feistel, tail carried —
+        # the same move a kick makes, taffy-cuckoo.h:366-372) and place
+        # there; only the residue walks the scalar kick loop
+        placed = self._place_vec(0, bucket, fp, tail)
+        left = np.flatnonzero(~placed)
+        if len(left):
+            w = log + HEAD
+            hashed0 = (bucket[left].astype(np.uint64) << np.uint64(HEAD)) \
+                | fp[left].astype(np.uint64)
+            pre = feistel_backward_batch(self.sides[0].keys, w, hashed0)
+            hashed1 = feistel_forward_batch(self.sides[1].keys, w, pre)
+            b1 = (hashed1 >> np.uint64(HEAD)).astype(np.int64)
+            f1 = (hashed1 & np.uint64(FP_MASK)).astype(np.int64)
+            t1 = tail[left]
+            placed1 = self._place_vec(1, b1, f1, t1)
+            for i in np.flatnonzero(~placed1):
+                self._insert_side_path(
+                    1, (int(b1[i]), int(f1[i]), int(t1[i])))
+
+    def _insert_raws(self, raws: np.ndarray, tails: np.ndarray) -> None:
+        """Insert raw-key-prefixes with explicit encoded tails:
+        vectorized side-0 placement → side-1 spill → scalar residue.
+        (The upsize/union re-path primitives carry tails that differ
+        from what to_path would derive, hence the override.)"""
+        log = self.log_side_size
+        hashed = feistel_forward_batch(self.sides[0].keys, log + HEAD,
+                                       raws >> np.uint64(64 - log - HEAD))
+        bucket = (hashed >> np.uint64(HEAD)).astype(np.int64)
+        fp = (hashed & np.uint64(FP_MASK)).astype(np.int64)
+        tail = tails.astype(np.int64)
+        placed = self._place_vec(0, bucket, fp, tail)
+        left = np.flatnonzero(~placed)
+        if len(left):
+            w = log + HEAD
+            hashed0 = (bucket[left].astype(np.uint64) << np.uint64(HEAD)) \
+                | fp[left].astype(np.uint64)
+            pre = feistel_backward_batch(self.sides[0].keys, w, hashed0)
+            hashed1 = feistel_forward_batch(self.sides[1].keys, w, pre)
+            b1 = (hashed1 >> np.uint64(HEAD)).astype(np.int64)
+            f1 = (hashed1 & np.uint64(FP_MASK)).astype(np.int64)
+            t1 = tail[left]
+            placed1 = self._place_vec(1, b1, f1, t1)
+            for i in np.flatnonzero(~placed1):
+                self._insert_side_path(
+                    1, (int(b1[i]), int(f1[i]), int(t1[i])))
+
+    def _upsize_vec(self) -> None:
+        """Vectorized doubling: batch-re-path every stored slot/stash
+        (same tail-bit-stealing algebra as _upsize_one, vector form).
+        Set-preserving; layout probe-equivalent to the scalar upsize."""
+        log = self.log_side_size
+        t = TaffyCuckooFilter(log + 1, self.entropy)
+        shift = np.uint64(64 - log - HEAD - 1)
+        for s in range(2):
+            side = self.sides[s]
+            stail_m = side.data >> np.uint16(10)
+            rows, cols = np.nonzero(stail_m != 0)
+            bks = rows.astype(np.uint64)
+            fps = (side.data[rows, cols] & np.uint16(FP_MASK)) \
+                .astype(np.uint64)
+            tls = stail_m[rows, cols].astype(np.int64)
+            if side.stash:
+                bks = np.concatenate([bks, np.array(
+                    [p[0] for p in side.stash], dtype=np.uint64)])
+                fps = np.concatenate([fps, np.array(
+                    [p[1] for p in side.stash], dtype=np.uint64)])
+                tls = np.concatenate([tls, np.array(
+                    [p[2] for p in side.stash], dtype=np.int64)])
+            if len(bks) == 0:
+                continue
+            hashed = (bks << np.uint64(HEAD)) | fps
+            pre = feistel_backward_batch(side.keys, log + HEAD, hashed)
+            raw = pre << np.uint64(64 - log - HEAD)
+            fork = tls == (1 << TAIL)
+            nf = ~fork
+            raw_nf = raw[nf] | ((tls[nf].astype(np.uint64)
+                                 >> np.uint64(TAIL)) << shift)
+            tail_nf = (tls[nf] << 1) & TAIL_MASK
+            raw_f = raw[fork]
+            raws = np.concatenate(
+                [raw_nf, raw_f, raw_f | (np.uint64(1) << shift)])
+            tails = np.concatenate(
+                [tail_nf, np.full(2 * int(fork.sum()), 1 << TAIL,
+                                  dtype=np.int64)])
+            t._insert_raws(raws, tails)
+        self.log_side_size = t.log_side_size
+        self.sides = t.sides
+        self.occupied = t.occupied
+        self.rng = t.rng
+
+    def _place_vec(self, side_idx: int, bucket: np.ndarray, fp: np.ndarray,
+                   tail: np.ndarray) -> np.ndarray:
+        """Place candidates into empty slots of one side; returns a
+        boolean mask of which candidates were placed."""
+        data = self.sides[side_idx].data
+        n = len(bucket)
+        order = np.argsort(bucket, kind="stable")
+        b_sorted = bucket[order]
+        uniq, start, counts = np.unique(b_sorted, return_index=True,
+                                        return_counts=True)
+        empty_mask = (data[uniq] >> 10) == 0          # (u, SLOTS)
+        n_empty = empty_mask.sum(axis=1)
+        rank = np.arange(n) - np.repeat(start, counts)
+        k_per = np.repeat(np.minimum(n_empty, counts), counts)
+        sel = rank < k_per
+        if sel.any():
+            slot_order = np.argsort(~empty_mask, axis=1, kind="stable")
+            u_idx = np.repeat(np.arange(len(uniq)), counts)
+            rows = uniq[u_idx[sel]]
+            slots = slot_order[u_idx[sel], rank[sel]]
+            vals = (fp[order][sel] | (tail[order][sel] << 10)) \
+                .astype(np.uint16)
+            data[rows, slots] = vals
+            self.occupied += int(sel.sum())
+        placed = np.zeros(n, dtype=bool)
+        placed[order[sel]] = True
+        return placed
 
     # --- growth -----------------------------------------------------------
     def _upsize(self) -> None:
@@ -248,26 +422,32 @@ class TaffyCuckooFilter:
         tail_shift = np.uint64(64 - log - HEAD - TAIL)
         ptail = ((h >> tail_shift) & np.uint64((1 << TAIL) - 1)) \
             .astype(np.int64) * 2 + 1
+        ptail16 = ptail.astype(np.uint16)
         for s in range(2):
             side = self.sides[s]
             hashed = feistel_forward_batch(side.keys, log + HEAD,
                                            h >> pre_shift)
             bucket = (hashed >> np.uint64(HEAD)).astype(np.int64)
-            fp = (hashed & np.uint64(FP_MASK)).astype(np.int64)
-            slots = side.data[bucket].astype(np.int64)      # (n, SLOTS)
-            sfp = slots & FP_MASK
-            stail = slots >> HEAD
-            ok = (stail != 0) & (sfp == fp[:, None]) & \
-                is_prefix_of_batch(np.maximum(stail, 1), ptail[:, None])
-            out |= ok.any(axis=1)
+            fp16 = (hashed & np.uint64(FP_MASK)).astype(np.uint16)
+            slots = side.data[bucket]                       # (n, SLOTS) u16
+            stail = slots >> np.uint16(HEAD)
+            cand = (stail != 0) & \
+                ((slots & np.uint16(FP_MASK)) == fp16[:, None])
+            # fingerprint matches are ~n*SLOTS/2^HEAD — evaluate the
+            # tail-prefix test sparsely instead of on the full matrix
+            rows, cols = np.nonzero(cand)
+            if len(rows):
+                pref = is_prefix_of_batch(stail[rows, cols], ptail16[rows])
+                out[rows[pref]] = True
             for (sb, sf, st) in side.stash:
                 if st == 0:
                     continue
-                cand = (bucket == sb) & (fp == sf)
-                if cand.any():
-                    cand &= is_prefix_of_batch(
-                        np.full(n, st, dtype=np.int64), ptail)
-                    out |= cand
+                hit = (bucket == sb) & (fp16 == sf)
+                idx = np.flatnonzero(hit)
+                if len(idx):
+                    pref = is_prefix_of_batch(
+                        np.full(len(idx), st, dtype=np.int64), ptail[idx])
+                    out[idx[pref]] = True
         return out
 
     # --- union (the UDAF merge; taffy-cuckoo.c:260-348) --------------------

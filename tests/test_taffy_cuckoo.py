@@ -29,7 +29,7 @@ def test_c_reference_parity_20k_build():
     false positives over 1e6 absent probes."""
     ks = splitmix64(20_000, seed=0)
     f = TaffyCuckooFilter.create_with_bytes(64)
-    f.add_hashes(ks)
+    f.add_hashes_exact(ks)  # per-key C insert order for bit parity
     assert f.log_side_size == 12
     assert f.occupied == 22283
     assert _state_fnv(f) == 649494347863591457
@@ -44,8 +44,8 @@ def test_c_reference_parity_union():
     a = TaffyCuckooFilter.create_with_bytes(64)
     b = TaffyCuckooFilter.create_with_bytes(1024)
     ks = splitmix64(3_700, seed=0)
-    a.add_hashes(ks[:3000])
-    b.add_hashes(ks[3000:])
+    a.add_hashes_exact(ks[:3000])
+    b.add_hashes_exact(ks[3000:])
     u = a.union(b)
     assert u.log_side_size == 9
     assert u.occupied == 3813
