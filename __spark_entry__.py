@@ -312,6 +312,102 @@ def q_filter_audit_tcf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational coverage (SURVEY.md §2.8): windows, sort/limit top-k,
+# set ops, sessionization — all pure DataFrame API, oracle-matched
+# ---------------------------------------------------------------------------
+
+@_register(
+    "window_topk_customers",
+    """
+    WITH spend AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_spend
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey)
+    SELECT c_mktsegment, o_custkey, total_spend, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                ORDER BY total_spend DESC, o_custkey ASC) AS rnk
+      FROM spend) WHERE rnk <= 3
+    """)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = (orders.join(F.broadcast(customer),
+                         orders.o_custkey == customer.c_custkey)
+             .groupBy("c_mktsegment", "o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("total_spend")))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_spend"), F.asc("o_custkey"))
+    return (spend.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3))
+
+
+@_register(
+    "sessionize_events",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps)
+    SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id
+    """)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization via window lag + running sum (the
+    batch form of a session window)."""
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # ts is TIMESTAMP_NTZ; route via LTZ (session TZ pinned to UTC) to
+    # get epoch seconds — differences are timezone-free anyway
+    sec = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = sec - F.lag(sec).over(w)
+    new_s = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (ev.withColumn("session_id", F.sum(new_s).over(run))
+            .groupBy("user_id")
+            .agg(F.countDistinct("session_id").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+@_register(
+    "set_ops_order_keys",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders
+       INTERSECT SELECT c_custkey FROM customer)) AS n_intersect,
+      (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer
+       EXCEPT SELECT o_custkey FROM orders)) AS n_customers_no_orders,
+      (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders
+       UNION SELECT c_custkey FROM customer)) AS n_union
+    """)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders") \
+        .select(F.col("o_custkey").alias("k"))
+    customer = load_table(spark, sf_dir, "customer") \
+        .select(F.col("c_custkey").alias("k"))
+    n_i = orders.intersect(customer).count()
+    n_e = customer.exceptAll(orders).dropDuplicates().count()
+    n_u = orders.union(customer).dropDuplicates().count()
+    return spark.createDataFrame(
+        [(n_i, n_e, n_u)],
+        "n_intersect long, n_customers_no_orders long, n_union long")
+
+
+# ---------------------------------------------------------------------------
 # Text analysis over documents — pure JVM expressions, oracle-translated
 # ---------------------------------------------------------------------------
 
