@@ -50,18 +50,20 @@ def _noop(batches):
     yield pd.DataFrame({"n": [0]})
 keys.mapInPandas(_noop, schema="n long").count()
 
+# the sharded build is the large-filter scale path: per-task slice is
+# filter_bytes/shards (cache-resident) and the merge is concatenation;
+# the full-size-partial path GC-thrashes at tasks x 80MB blobs
+from libfilter_spark.spark.sharded import (build_block_filter_sharded,
+                                           sharded_filter_row)
 build_s = float("inf")
-row = None
+blob = None
 for _ in range(3):
     t0 = time.perf_counter()
-    filters = build_filters(keys, None, ndv=n, fpp=0.004)
-    row = filters.collect()[0]
+    blob = build_block_filter_sharded(keys, ndv=n, fpp=0.004,
+                                      n_shards=4 * cpus)
     build_s = min(build_s, time.perf_counter() - t0)
 
-filters_df = spark.createDataFrame(
-    [(row["family"], row["params"], row["n_keys"], row["n_partials"],
-      row["filter"])],
-    "family string, params string, n_keys long, n_partials long, filter binary")
+filters_df = sharded_filter_row(spark, blob, n, 0.004)
 probe_s = float("inf")
 for _ in range(3):
     t0 = time.perf_counter()
@@ -74,7 +76,7 @@ print(json.dumps({"cpus": cpus, "n": n,
                   "probe_s": round(probe_s, 3),
                   "build_keys_per_s": round(n / build_s),
                   "probe_keys_per_s": round(n / probe_s),
-                  "filter_bytes": len(row["filter"])}))
+                  "filter_bytes": len(blob)}))
 spark.stop()
 """
 
