@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -28,6 +30,12 @@ from .build import _keys_from_series
 _FILTER_CACHE: dict[str, dict] = {}
 _FILTER_CACHE_MAX = 16
 
+# block filters at least this big are materialized once into /dev/shm
+# and memory-mapped: N python workers then share ONE page-cached copy
+# instead of N private 10s-of-MB deserialized arrays (the private
+# copies were measured to thrash cache at 32 workers x 80 MB)
+_SHM_MIN_BYTES = int(os.environ.get("LIBFILTER_SHM_MIN", 32 << 20))
+
 
 def collect_filters(filters_df: DataFrame, group_cols: list[str]) -> dict:
     """Small filters DataFrame → {group_tuple: (family, blob)}."""
@@ -36,12 +44,52 @@ def collect_filters(filters_df: DataFrame, group_cols: list[str]) -> dict:
             for r in rows}
 
 
+def _block_via_shm(token: str, g, blob: bytes):
+    """Write the blob once to /dev/shm (atomic rename; first writer
+    wins) and back the BlockFilter with a read-only memmap."""
+    import hashlib
+
+
+    import numpy as np
+
+    from ..filters.block import BlockFilter
+
+    name = hashlib.sha256(
+        (token + repr(g)).encode()).hexdigest()[:24]
+    path = f"/dev/shm/libfilter_{name}.u4"
+    # best-effort TTL sweep so abandoned filters don't pin shm
+    import glob
+    import time
+    for old in glob.glob("/dev/shm/libfilter_*.u4"):
+        try:
+            if time.time() - os.path.getmtime(old) > 3600:
+                os.unlink(old)
+        except OSError:
+            pass
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, path)
+    arr = np.memmap(path, dtype=np.uint32, mode="r")
+    return BlockFilter(arr)
+
+
 def _materialize(bc) -> dict:
+
     token, filter_map = bc.value
     cached = _FILTER_CACHE.get(token)
     if cached is None:
-        cached = {g: FAMILIES[fam].deserialize(blob)
-                  for g, (fam, blob) in filter_map.items()}
+        cached = {}
+        use_shm = os.path.isdir("/dev/shm")
+        for g, (fam, blob) in filter_map.items():
+            if fam == "block" and use_shm and len(blob) >= _SHM_MIN_BYTES:
+                try:
+                    cached[g] = _block_via_shm(token, g, blob)
+                    continue
+                except OSError:
+                    pass  # shm full/unwritable → private copy
+            cached[g] = FAMILIES[fam].deserialize(blob)
         while len(_FILTER_CACHE) >= _FILTER_CACHE_MAX:
             _FILTER_CACHE.pop(next(iter(_FILTER_CACHE)))
         _FILTER_CACHE[token] = cached
