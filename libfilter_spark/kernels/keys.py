@@ -35,10 +35,15 @@ def keys_from_hex(hex_col) -> np.ndarray:
 
 def keys_from_arrow(arr) -> np.ndarray:
     """pyarrow (binary or int64) Array → uint64 keys, zero-copy where
-    the layout allows (fixed 8-byte values, contiguous data buffer)."""
+    the layout allows (fixed 8-byte values, contiguous data buffer).
+    Null entries map to key 0 — callers that must distinguish nulls
+    use :func:`keys_and_valid_from_arrow`."""
     import pyarrow as pa
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if arr.null_count:
+        fill = 0 if pa.types.is_integer(arr.type) else b"\x00" * 8
+        arr = arr.fill_null(fill)
     if pa.types.is_integer(arr.type):
         return arr.to_numpy(zero_copy_only=False).astype(np.int64) \
             .view(np.uint64)
@@ -53,7 +58,20 @@ def keys_from_arrow(arr) -> np.ndarray:
                              count=8 * n, offset=start)
         return data.view(">u8").astype(np.uint64)
     # ragged fallback (shouldn't happen for sha-derived keys)
-    return keys_from_hex([v.as_py().hex() for v in arr])
+    vals = [v.as_py() for v in arr]
+    return np.array([int.from_bytes((v or b"")[:8].ljust(8, b"\x00"), "big")
+                     for v in vals], dtype=np.uint64)
+
+
+def keys_and_valid_from_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Like :func:`keys_from_arrow` plus a validity mask (null → False)
+    so probes can report non-membership for null keys instead of
+    crashing or false-positiving on key 0."""
+    import pyarrow as pa
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    valid = ~np.asarray(arr.is_null())
+    return keys_from_arrow(arr), valid
 
 
 def sha256_key(content: str | bytes) -> int:

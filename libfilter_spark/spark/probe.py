@@ -115,7 +115,7 @@ def probe_with_filters(df: DataFrame, filters_df: DataFrame,
     import pyarrow as pa
     from pyspark.sql.functions import ArrowUDFType, arrow_udf
 
-    from ..kernels.keys import keys_from_arrow
+    from ..kernels.keys import keys_and_valid_from_arrow
 
     bc = spark.sparkContext.broadcast(
         (uuid.uuid4().hex, collect_filters(filters_df, group_cols)))
@@ -123,7 +123,7 @@ def probe_with_filters(df: DataFrame, filters_df: DataFrame,
     if group_cols:
         def probe(*cols):
             filters = _materialize(bc)
-            keys = keys_from_arrow(cols[-1])
+            keys, valid = keys_and_valid_from_arrow(cols[-1])
             gdf = pd.DataFrame(
                 {i: c.to_pandas() for i, c in enumerate(cols[:-1])})
             out = np.zeros(len(keys), dtype=bool)
@@ -133,7 +133,7 @@ def probe_with_filters(df: DataFrame, filters_df: DataFrame,
                 if f is not None:
                     idx = sub.index.to_numpy()
                     out[idx] = f.find_hashes(keys[idx])
-            return pa.array(out)
+            return pa.array(out & valid)  # null keys are never members
 
         udf = arrow_udf(probe, "boolean", ArrowUDFType.SCALAR)
         args = [F.col(c) for c in group_cols] + [F.col(key_col)]
@@ -144,7 +144,8 @@ def probe_with_filters(df: DataFrame, filters_df: DataFrame,
         f = filters.get(())
         if f is None:
             return pa.array(np.zeros(len(keys), dtype=bool))
-        return pa.array(f.find_hashes(keys_from_arrow(keys)))
+        k, valid = keys_and_valid_from_arrow(keys)
+        return pa.array(f.find_hashes(k) & valid)
 
     udf = arrow_udf(probe_global, "boolean", ArrowUDFType.SCALAR)
     return df.withColumn(result_col, udf(F.col(key_col)))
