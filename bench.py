@@ -96,6 +96,44 @@ def main() -> None:
     extras["probe_block_keys_per_sec"] = round(BUILD_KEYS / probe_s)
     queries["probe_block_5m"] = round(probe_s, 3)
 
+    # --- per-family build/probe rates (reference BASELINE.md §A/§B
+    # reports per-family numbers; 1M keys keeps the round fast) -------
+    import numpy as np
+
+    from libfilter_spark.filters import (StaticXorFilter, TaffyBlockFilter,
+                                         TaffyCuckooFilter)
+    from libfilter_spark.kernels.keys import splitmix64
+
+    fam_keys = splitmix64(1_000_000, seed=99)
+    absent = splitmix64(2_000_000, seed=99)[1_000_000:]
+
+    def time_family(name, build_fn, probe_target=None):
+        t0 = time.perf_counter()
+        f = build_fn()
+        b = time.perf_counter() - t0
+        target = probe_target(f) if probe_target else f
+        t0 = time.perf_counter()
+        assert target.find_hashes(fam_keys).all()
+        target.find_hashes(absent)
+        p = time.perf_counter() - t0
+        extras[f"{name}_build_ns_per_key"] = round(b * 1000)  # 1M keys
+        extras[f"{name}_probe_ns_per_key"] = round(p * 500)   # 2M probes
+
+    def build_tcf():
+        f = TaffyCuckooFilter.create(1_000_000)
+        f.add_hashes(fam_keys)
+        return f
+
+    def build_tbf():
+        f = TaffyBlockFilter.create(1_000_000, 0.01)
+        f.add_hashes(fam_keys)
+        return f
+
+    time_family("taffy_cuckoo", build_tcf)
+    time_family("frozen_tcf", build_tcf, probe_target=lambda f: f.freeze())
+    time_family("taffy_block", build_tbf)
+    time_family("static_xor", lambda: StaticXorFilter.construct(fam_keys))
+
     total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_sec",
