@@ -81,6 +81,23 @@ def build_filters(df: DataFrame, group_cols: list[str] | None,
     if family == "static_xor":
         return _build_grouped(df, group_cols, key_col, family, ndv, fpp)
 
+    # large GLOBAL block filters route to the sharded build: full-size
+    # per-task partials were measured to anti-scale past ~32 MB blobs
+    # (tasks x filter_bytes of merge traffic GC-thrashes the JVM);
+    # sharding shuffles 8 B/row once and merges by concatenation
+    from pyspark.sql.types import BinaryType
+    if family == "block" and not group_cols \
+            and isinstance(df.schema[key_col].dataType, BinaryType):
+        from ..kernels.sizing import block_bytes_needed
+        est_bytes = block_bytes_needed(ndv, fpp)
+        threshold = int(__import__("os").environ.get(
+            "LIBFILTER_SHARDED_MIN", 32 << 20))
+        if est_bytes >= threshold:
+            from .sharded import build_block_filter_sharded, \
+                sharded_filter_row
+            blob = build_block_filter_sharded(df, key_col, ndv, fpp)
+            return sharded_filter_row(df.sparkSession, blob, ndv, fpp)
+
     params = json.dumps({"ndv": int(ndv), "fpp": float(fpp)})
     proj = df.select(*group_cols, key_col)
     partial_schema = _result_schema(proj, group_cols)
