@@ -657,6 +657,47 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_grams").alias("total_fingerprints")))
 
 
+@_register(
+    "dedup_embedding_near_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 1000 AND b.vec_id < 1000
+      AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+    """)
+def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact-verified and
+    oracle-checked against DuckDB's quadratic scan on a bounded id
+    range (n_bits=0 ⇒ single bucket ⇒ exhaustive candidates, so the
+    Spark result is exact; the LSH-bucketed scale path with recall<1
+    is exercised by ann_lsh_recall and pytest instead)."""
+    from libfilter_spark.functions.similarity import embedding_near_pairs
+    emb = load_table(spark, sf_dir, "embeddings").where("vec_id < 1000")
+    pairs = embedding_near_pairs(emb, threshold=0.45, n_bits=0)
+    return pairs.select("id_a", "id_b")
+
+
+@_register("source_code_pipeline")
+def q_source_code_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star shape end-to-end: deterministic Iceberg-shaped
+    source-code table (repo, path, commit, lang, content) → sha256
+    keys → per-lang block filters (mega-repo skew present) →
+    cross-repo duplicate-content detection via Bloom semi-join with
+    exact verify. Rows-only (the table is generated, not a view)."""
+    from libfilter_spark.sources.codegen import source_code_table
+    from libfilter_spark.spark.keys import with_content_key_bin
+
+    src = with_content_key_bin(source_code_table(spark, 20_000, seed=42),
+                               "content")
+    mega = src.where(F.col("repo") == "org0/repo0")
+    rest = src.where(F.col("repo") != "org0/repo0")
+    filters = build_filters(mega, ["lang"], ndv=1 << 12, fpp=0.01)
+    dup_in_mega = filter_semi_join(rest, mega, filters, ["lang"])
+    return (dup_in_mega.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_dup_files"),
+                 F.countDistinct("key").alias("n_dup_contents")))
+
+
 @_register("multimodal_feature_audit")
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload media table → stubbed decode → feature extract;
