@@ -254,9 +254,18 @@ class MinimalTaffyCuckooFilter:
         self._insert_detail(0, p, 128)
         return True
 
-    def add_hashes(self, hashes: np.ndarray) -> None:
+    def add_hashes_exact(self, hashes: np.ndarray) -> None:
+        """Per-key inserts in the reference's exact order — bit-identical
+        state to the C library."""
         for k in hashes:
             self.add_hash(int(k))
+
+    # batch insert stays per-key for this family: the cursor-driven
+    # per-level doubling grows capacity in 1/32 steps, which makes
+    # chunked vectorized placement degenerate (measured 1.1 ms/key vs
+    # 10 us/key scalar); a vectorized upsize+re_path is the round-2
+    # item (SURVEY.md §8)
+    add_hashes = add_hashes_exact
 
     # --- growth -----------------------------------------------------------
     def _upsize(self) -> None:

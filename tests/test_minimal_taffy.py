@@ -33,7 +33,7 @@ def test_c_reference_parity(n, log, cursor, occupied, fnv, fp):
     gcc -O2, splitmix64 seed=0 keys, create_with_bytes)."""
     ks = splitmix64(n, seed=0)
     f = MinimalTaffyCuckooFilter.create_with_bytes(1)
-    f.add_hashes(ks)
+    f.add_hashes_exact(ks)  # per-key C insert order for bit parity
     assert (f.log_side_size, f.cursor, f.occupied) == (log, cursor, occupied)
     assert _state_fnv(f) == fnv
     assert f.find_hashes(ks).all()
