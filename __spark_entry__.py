@@ -426,21 +426,19 @@ def _register_text_queries():
         SELECT lang,
                SUM({n_tokens}) AS total_tokens,
                SUM({n_subwords}) AS total_subwords,
-               SUM(CAST(floor(({quality}) * 1000000000) AS BIGINT))
-                   AS sum_quality_e9
+               SUM({quality_e9}) AS sum_quality_e9
         FROM documents GROUP BY lang
         """))
     def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # quality is summed as floor(q*1e9) integers: double addition is
-        # order-sensitive across engines/partitionings, integer sums are
-        # exact — keeps the oracle hash stable at any parallelism
+        # quality is summed via quality_score_e9 — an integer-exact
+        # scaled score (no double rounding anywhere), so the sum is
+        # bit-identical across engines and partitionings
         docs = load_table(spark, sf_dir, "documents")
         c = F.col("text")
         return (docs.groupBy("lang")
                 .agg(F.sum(T.token_count(c)).alias("total_tokens"),
                      F.sum(T.subword_estimate(c)).alias("total_subwords"),
-                     F.sum(F.floor(T.quality_score(c) * 1e9).cast("long"))
-                     .alias("sum_quality_e9")))
+                     F.sum(T.quality_score_e9(c)).alias("sum_quality_e9")))
 
     @_register(
         "text_quality_filter",

@@ -63,6 +63,42 @@ def quality_score(col: Column) -> Column:
             + F.lit(0.15) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))))
 
 
+def quality_score_e9(col: Column) -> Column:
+    """Integer-exact quality score scaled by 1e9 — same heuristic as
+    quality_score but every term is integer arithmetic, so Spark and any
+    ANSI-SQL oracle produce bit-identical BIGINTs regardless of double
+    rounding/evaluation order. Term-by-term mapping:
+      0.4 * min(n_chars/500, 1)      -> 800_000 * least(n_chars, 500)
+      0.3|0.15 tok_score             -> 3*n_tok <= n_chars <= 10*n_tok
+                                        (integer form of 3<=avg_tok<=10)
+      0.15 * (1 - min(5*d/n, 1))     -> (150e6 * (n - least(5d, n))) DIV n
+    n_chars == 0 gives len 0, tok 0.5, digit/punct terms 1.0 each.
+    """
+    n = F.length(col).cast("long")
+    n_tok = token_count(col).cast("long")
+    d = digit_count(col).cast("long")
+    p = punct_count(col).cast("long")
+    len_term = F.lit(800000).cast("long") * F.least(n, F.lit(500).cast("long"))
+    tok_term = F.when((n_tok > 0) & (n >= 3 * n_tok) & (n <= 10 * n_tok),
+                      F.lit(300000000).cast("long")) \
+        .otherwise(F.lit(150000000).cast("long"))
+    # exact integer floor-division for non-negative longs without DIV
+    # dialect differences: (a - a % b) is exactly divisible, and the
+    # double division of exactly-divisible int64s < 2^53 is exact IEEE
+    def idiv(numer: Column, denom: Column) -> Column:
+        return ((numer - numer % denom) / denom).cast("long")
+
+    digit_i = F.when(n > 0,
+                     idiv(F.lit(150000000).cast("long")
+                          * (n - F.least(5 * d, n)), n)) \
+        .otherwise(F.lit(150000000).cast("long"))
+    punct_i = F.when(n > 0,
+                     idiv(F.lit(150000000).cast("long")
+                          * (n - F.least(5 * p, n)), n)) \
+        .otherwise(F.lit(150000000).cast("long"))
+    return len_term + tok_term + digit_i + punct_i
+
+
 # language-ID markers: high-frequency function words per language,
 # counted with the space-padded length-difference trick
 LANG_MARKERS = {
@@ -137,10 +173,28 @@ def oracle_sql_snippets(text_col: str = "text") -> dict[str, str]:
         f" * 5, 1.0)) "
         f"+ 0.15 * (1.0 - least((({punct}) / CAST(length({t}) AS DOUBLE))"
         f" * 5, 1.0))")
+    # integer-exact quality*1e9 — mirrors quality_score_e9 term by term;
+    # (a - a % b)/b is exact for non-negative int64 < 2^53 in IEEE double
+    n = f"CAST(length({t}) AS BIGINT)"
+    sql_idiv = lambda a, b: (  # noqa: E731
+        f"CAST((({a}) - ({a}) % ({b})) / ({b}) AS BIGINT)")
+    d5 = f"(5 * CAST({digits} AS BIGINT))"
+    p5 = f"(5 * CAST({punct} AS BIGINT))"
+    quality_e9 = (
+        f"(800000 * least({n}, 500) "
+        f"+ CASE WHEN ({tok}) > 0 AND {n} >= 3 * ({tok}) "
+        f"AND {n} <= 10 * ({tok}) THEN 300000000 ELSE 150000000 END "
+        f"+ CASE WHEN {n} > 0 THEN "
+        f"{sql_idiv(f'150000000 * ({n} - least({d5}, {n}))', n)} "
+        f"ELSE 150000000 END "
+        f"+ CASE WHEN {n} > 0 THEN "
+        f"{sql_idiv(f'150000000 * ({n} - least({p5}, {n}))', n)} "
+        f"ELSE 150000000 END)")
     return {
         "n_tokens": tok,
         "n_subwords": f"CAST(floor(length({t}) / 4.0 + ({tok}) / 2.0) "
                       f"AS BIGINT)",
         "quality": quality,
+        "quality_e9": quality_e9,
         "lang_pred": lang_case,
     }
