@@ -17,8 +17,18 @@ Union/freeze/serialize are absent upstream; we define serialization
 (needed for UDAF state) but keep this family build+probe only — the
 distributed merge path rebuilds (SURVEY.md §2.6).
 
-Inserts are the reference's sequential algorithm (validated against
-the compiled C); probes are vectorized over the four candidate paths.
+Two insert paths (the TCF contract, taffy_cuckoo.py:173-201):
+``add_hashes_exact`` replays the reference's per-key algorithm —
+bit-identical state to the compiled C; ``add_hashes`` is the Spark hot
+path — a vectorized generational cuckoo walk over a flat strided slot
+array (set-preserving and probe-equivalent, but kick order differs
+from C so the byte layout is not bit-identical). MTCF sits at 88-90%
+load by construction (capacity grows 1/(32+cursor) per upsize), so the
+*scalar* algorithm averages dozens of kicks per insert near the
+trigger — batching only a no-kick fast path cannot win; the walk
+itself is vectorized: each generation places what fits in empty slots,
+evicts one victim per contended bucket, re-paths all victims to the
+other side in one batch, and retires TTL-exhausted items to the stash.
 """
 
 from __future__ import annotations
@@ -27,7 +37,8 @@ import struct
 
 import numpy as np
 
-from ..kernels.feistel import (PcgRandom, feistel_backward, feistel_forward,
+from ..kernels.feistel import (PcgRandom, feistel_backward,
+                               feistel_backward_batch, feistel_forward,
                                feistel_forward_batch, is_prefix_of,
                                is_prefix_of_batch)
 
@@ -146,16 +157,160 @@ def re_path_upsize(p: tuple, flo: tuple, fhi: tuple, log_size: int,
     return ((q2[0], q2[1], q2[2], q2[3], tail), out)
 
 
+# --- batch path algebra ------------------------------------------------------
+
+def _to_path_batch(h: np.ndarray, keys: tuple, cursor: int, low: int,
+                   full_is_short: bool):
+    """Vectorized to_path (paths.h:106-146) over uint64 raw keys.
+    Returns int64 arrays (level, bucket, long_fp, fp, tail); tail==0
+    marks invalid (big-index short paths)."""
+    fis = 1 if full_is_short else 0
+    pre_all = h >> np.uint64(64 - LOG_LEVELS - low - HEAD + fis - TAIL)
+    raw_tail = (pre_all & np.uint64((1 << TAIL) - 1)).astype(np.int64)
+    pre = pre_all >> np.uint64(TAIL)
+    w = LOG_LEVELS + low + HEAD - fis
+    hashed = feistel_forward_batch(keys, w, pre)
+    level = (hashed >> np.uint64(low + HEAD - fis)).astype(np.int64)
+    big = level < cursor
+    bi = big.astype(np.int64)
+    bucket = (hashed >> (np.uint64(HEAD - fis) - bi.astype(np.uint64))) \
+        .astype(np.int64) & ((np.int64(1) << (low + bi)) - 1)
+    fp = hashed.astype(np.int64) & ((np.int64(1) << (HEAD - fis - bi)) - 1)
+    tail = raw_tail * 2 + 1
+    if full_is_short:
+        long_fp = np.zeros(len(h), dtype=np.int64)
+        tail = np.where(big, 0, tail)
+    else:
+        long_fp = (~big).astype(np.int64)
+    return level, bucket, long_fp, fp, tail
+
+
+def _from_path_batch(level: np.ndarray, bucket: np.ndarray, fp: np.ndarray,
+                     keys: tuple, level_size: int, fp_size: int) -> np.ndarray:
+    """Vectorized from_path_no_tail (paths.h:151-163)."""
+    hashed = ((((level.astype(np.uint64) << np.uint64(level_size))
+                | bucket.astype(np.uint64)) << np.uint64(fp_size))
+              | fp.astype(np.uint64))
+    pre = feistel_backward_batch(keys, LOG_LEVELS + level_size + fp_size,
+                                 hashed)
+    return pre << np.uint64(64 - LOG_LEVELS - level_size - fp_size)
+
+
+def _repath_batch(level, bucket, long_fp, fp, tail, from_lo, from_hi,
+                  to_lo, to_hi, log: int, from_cursor: int, to_cursor: int):
+    """Vectorized re_path / re_path_upsize (paths.h:213-343) at a fixed
+    log_side_size. Covers both side-to-side translation (from_cursor ==
+    to_cursor, different key pairs) and upsize (same keys, to_cursor ==
+    from_cursor + 1). Returns (main, extra) — each a 5-tuple of int64
+    arrays; extra holds the fork outputs (tail bits exhausted ⇒ one
+    short path becomes two long ones)."""
+    n = len(level)
+    r = [np.zeros(n, dtype=np.int64) for _ in range(5)]
+    extras = []
+    shift = np.uint64(64 - LOG_LEVELS - log - HEAD)
+
+    def put(idx, q, tails):
+        for k in range(4):
+            r[k][idx] = q[k]
+        r[4][idx] = tails
+
+    big = level < from_cursor
+    lng = (~big) & (long_fp == 1)
+    sht = (~big) & (long_fp == 0)
+    if big.any():
+        idx = np.flatnonzero(big)
+        key = _from_path_batch(level[idx], bucket[idx], fp[idx], from_hi,
+                               log + 1, HEAD - 1)
+        q = _to_path_batch(key, to_hi, to_cursor, log, False)
+        put(idx, q, tail[idx])
+    if lng.any():
+        idx = np.flatnonzero(lng)
+        key = _from_path_batch(level[idx], bucket[idx], fp[idx], from_hi,
+                               log, HEAD)
+        q = _to_path_batch(key, to_hi, to_cursor, log, False)
+        put(idx, q, tail[idx])
+    if sht.any():
+        idx = np.flatnonzero(sht)
+        key = _from_path_batch(level[idx], bucket[idx], fp[idx], from_lo,
+                               log, HEAD - 1)
+        q = _to_path_batch(key, to_lo, to_cursor, log, True)
+        keep = q[0] >= to_cursor          # still representable short
+        if keep.any():
+            ki = idx[keep]
+            put(ki, tuple(a[keep] for a in q), tail[ki])
+        rest = ~keep
+        if rest.any():
+            ri = idx[rest]
+            rkey = key[rest]
+            rtail = tail[ri]
+            fork = rtail == (1 << TAIL)
+            steal = ~fork
+            if steal.any():
+                si = ri[steal]
+                k2 = rkey[steal] | ((rtail[steal].astype(np.uint64)
+                                     >> np.uint64(TAIL)) << shift)
+                q2 = _to_path_batch(k2, to_hi, to_cursor, log, False)
+                put(si, q2, (rtail[steal] << 1) & TAIL_MASK)
+            if fork.any():
+                fi = ri[fork]
+                fkey = rkey[fork]
+                ftail = rtail[fork]
+                q2 = _to_path_batch(fkey | (np.uint64(1) << shift),
+                                    to_hi, to_cursor, log, False)
+                put(fi, q2, ftail)
+                qe = _to_path_batch(fkey, to_hi, to_cursor, log, False)
+                extras.append((*qe[:4], ftail))
+    if extras:
+        extra = tuple(np.concatenate([e[k] for e in extras])
+                      for k in range(5))
+    else:
+        extra = tuple(np.zeros(0, dtype=np.int64) for _ in range(5))
+    return tuple(r), extra
+
+
 class _Side:
-    __slots__ = ("hi", "lo", "levels", "stash")
+    """One side of the filter. Slots live in a single flat strided
+    array: level i occupies rows [i*stride, i*stride + width[i]) where
+    stride = 2 << log_side_size — every level pre-allocates its
+    post-doubling size, so a cursor upsize doubles width[i] in place
+    and batch kernels can address any (level, bucket) as one gather
+    index level*stride + bucket. ≤2× transient memory, same as the
+    reference's realloc high-water mark."""
+
+    __slots__ = ("hi", "lo", "data", "width", "stride", "stash")
 
     def __init__(self, log_level_size: int, keys12: tuple):
         self.hi = ((keys12[0], keys12[1]), (keys12[2], keys12[3]))
         self.lo = ((keys12[6], keys12[7]), (keys12[8], keys12[9]))
-        # level slot = long_fp | fp<<1 | tail<<10 packed in uint16
-        self.levels = [np.zeros((1 << log_level_size, SLOTS), dtype=np.uint16)
-                       for _ in range(LEVELS)]
+        self.stride = 2 << log_level_size
+        self.data = np.zeros((LEVELS * self.stride, SLOTS), dtype=np.uint16)
+        self.width = np.full(LEVELS, 1 << log_level_size, dtype=np.int64)
         self.stash: list[tuple] = []
+
+    def level(self, i: int) -> np.ndarray:
+        base = i * self.stride
+        return self.data[base:base + int(self.width[i])]
+
+    @property
+    def levels(self) -> list[np.ndarray]:
+        """Per-level views (test/serde surface; same shape as the old
+        list-of-arrays layout)."""
+        return [self.level(i) for i in range(LEVELS)]
+
+    def double_level(self, i: int) -> None:
+        self.width[i] = 2 * int(self.width[i])
+
+    def rebuild_for_log(self, new_log: int) -> None:
+        """Cursor wrap: all levels are at width 2<<old_log == 1<<new_log;
+        re-stride the flat array so each level again has doubling slack."""
+        old_stride = self.stride
+        new_stride = 2 << new_log
+        new = np.zeros((LEVELS * new_stride, SLOTS), dtype=np.uint16)
+        new.reshape(LEVELS, new_stride, SLOTS)[:, :old_stride] = \
+            self.data.reshape(LEVELS, old_stride, SLOTS)
+        self.data = new
+        self.stride = new_stride
+        self.width[:] = 1 << new_log
 
 
 def _pack(long_fp: int, fp: int, tail: int) -> int:
@@ -198,11 +353,10 @@ class MinimalTaffyCuckooFilter:
         return 2 + 2 * SLOTS * ((1 << self.log_side_size) * LEVELS
                                 + (1 << self.log_side_size) * self.cursor)
 
-    # --- insert ---------------------------------------------------------
+    # --- scalar insert (reference-exact) ---------------------------------
     def _level_insert(self, side: _Side, p: tuple) -> tuple:
         level, bucket, long_fp, fp, tail = p
-        lv = side.levels[level]
-        row = lv[bucket]
+        row = side.data[level * side.stride + bucket]
         want = _pack(long_fp, fp, tail)
         for i in range(SLOTS):
             v = int(row[i])
@@ -260,21 +414,242 @@ class MinimalTaffyCuckooFilter:
         for k in hashes:
             self.add_hash(int(k))
 
-    # batch insert stays per-key for this family: the cursor-driven
-    # per-level doubling grows capacity in 1/32 steps, which makes
-    # chunked vectorized placement degenerate (measured 1.1 ms/key vs
-    # 10 us/key scalar); a vectorized upsize+re_path is the round-2
-    # item (SURVEY.md §8)
-    add_hashes = add_hashes_exact
+    # --- batch insert (Spark hot path) -----------------------------------
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        """Vectorized batch insert — set-preserving and deterministic
+        for a given batch sequence, probe-equivalent but not
+        bit-identical to per-key C order (the TCF add_hashes contract).
+        Chunks between growth triggers; each chunk runs the vectorized
+        generational kick walk."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        n = len(h)
+        if n == 0:
+            return
+        if n < 512 and self.capacity < 32768:
+            # tiny builds: reference per-key dynamics, cheap anyway
+            for k in h:
+                self.add_hash(int(k))
+            return
+        # MTCF's levels load nonuniformly mid-round: keys hash uniformly
+        # over 32 levels but undoubled levels have half the slots, so
+        # their load is (need/capacity)*(32+cursor)/32 — they saturate
+        # long before the 0.9 occupancy trigger, and overflow drives the
+        # per-key stash→upsize dance (~every 100 keys in the scalar
+        # path). A bulk walk under that pressure mass-stashes. The batch
+        # path knows the batch size upfront, so: pre-size to a wrap
+        # boundary (cursor 0 ⇒ uniform level widths) with ≤0.85 uniform
+        # load, then insert with short, low-pressure walks. Growth is a
+        # vectorized cursor sweep — one full-table re-path per doubling,
+        # the classic amortized cost.
+        need = self.occupied + n
+        worst = need / self.capacity * (32 + self.cursor) / 32
+        if worst > 0.85:
+            while self.cursor != 0 or 0.85 * self.capacity < need:
+                self._upsize_vec()
+        pos = 0
+        while pos < n:
+            while (self.occupied > 0.9 * self.capacity
+                   or self.occupied + 4 >= self.capacity
+                   or len(self.sides[0].stash)
+                   + len(self.sides[1].stash) > 8):
+                self._upsize_vec()
+            room = min(int(0.9 * self.capacity) - self.occupied,
+                       self.capacity - 4 - self.occupied)
+            take = max(1, min(room, n - pos, 1 << 16))
+            if take < 64:
+                for k in h[pos:pos + take]:
+                    self.add_hash(int(k))
+            else:
+                self._add_chunk(h[pos:pos + take])
+            pos += take
+
+    def _add_chunk(self, h: np.ndarray) -> None:
+        present = self.find_hashes(h)
+        todo = h[~present]
+        if len(todo) == 0:
+            return
+        level, bucket, long_fp, fp, tail = _to_path_batch(
+            todo, self.sides[0].hi, self.cursor, self.log_side_size, False)
+        # drop duplicate paths within the chunk (keep first) — mirrors
+        # the duplicate branch of _level_insert for identical paths
+        pack = (bucket << np.int64(21)) | (level << np.int64(16)) \
+            | (long_fp << np.int64(15)) | (fp << np.int64(6)) | tail
+        _, first = np.unique(pack, return_index=True)
+        first.sort()
+        self._kick_batch(0, level[first], bucket[first], long_fp[first],
+                         fp[first], tail[first])
+
+    def _kick_batch(self, side0: int, level, bucket, long_fp, fp,
+                    tail) -> None:
+        """Vectorized cuckoo walk with victim lookahead. Generation =
+        (1) place everything that fits in empty slots, per side;
+        (2) retire TTL-exhausted items to the stash; (3) for one kicker
+        per contended bucket, score ALL FOUR victims by whether their
+        re-pathed other-side bucket has an empty slot, evict a victim
+        with room (falling back to a deterministic hash of bucket+gen —
+        the scalar path's PCG stream is an insert-order artifact, not
+        part of the probe contract), write the kicker, and batch
+        re-path the evicted victims. The lookahead is what keeps the
+        walk ~3 generations deep at MTCF's steady 88-90% load instead
+        of the scalar path's dozens of blind kicks. Losers of a bucket
+        contention retry next generation."""
+        n0 = len(level)
+        side_arr = np.full(n0, side0, dtype=np.int64)
+        ttl = np.full(n0, 128, dtype=np.int64)
+        gen = 0
+        while len(level):
+            placed = np.zeros(len(level), dtype=bool)
+            for s in (0, 1):
+                sm = np.flatnonzero(side_arr == s)
+                if len(sm):
+                    placed[sm] = self._place_vec(
+                        s, level[sm], bucket[sm], long_fp[sm], fp[sm],
+                        tail[sm])
+            rem = ~placed
+            if not rem.any():
+                return
+            level, bucket, long_fp, fp, tail, side_arr, ttl = (
+                a[rem] for a in (level, bucket, long_fp, fp, tail,
+                                 side_arr, ttl))
+            ttl -= 1
+            dead = ttl < 0
+            if dead.any():
+                for j in np.flatnonzero(dead):
+                    self.sides[int(side_arr[j])].stash.append(
+                        (int(level[j]), int(bucket[j]), int(long_fp[j]),
+                         int(fp[j]), int(tail[j])))
+                    self.occupied += 1
+                keep = ~dead
+                level, bucket, long_fp, fp, tail, side_arr, ttl = (
+                    a[keep] for a in (level, bucket, long_fp, fp, tail,
+                                      side_arr, ttl))
+            if len(level) == 0:
+                return
+            stride = 2 << self.log_side_size
+            gb = level * stride + bucket
+            ckey = side_arr * np.int64(LEVELS * stride) + gb
+            _, first = np.unique(ckey, return_index=True)
+            kick = np.zeros(len(level), dtype=bool)
+            kick[first] = True
+            nxt = {k: [] for k in
+                   ("level", "bucket", "long_fp", "fp", "tail", "side",
+                    "ttl")}
+            lose = ~kick
+            if lose.any():
+                li = np.flatnonzero(lose)
+                nxt["level"].append(level[li])
+                nxt["bucket"].append(bucket[li])
+                nxt["long_fp"].append(long_fp[li])
+                nxt["fp"].append(fp[li])
+                nxt["tail"].append(tail[li])
+                nxt["side"].append(side_arr[li])
+                nxt["ttl"].append(ttl[li])
+            gen_salt = np.uint64((gen * 0xC2B2AE3D27D4EB4F)
+                                 & 0xFFFFFFFFFFFFFFFF)
+            for s in (0, 1):
+                ki = np.flatnonzero(kick & (side_arr == s))
+                if len(ki) == 0:
+                    continue
+                m = len(ki)
+                sgb = gb[ki]
+                here, there = self.sides[s], self.sides[1 - s]
+                data = here.data
+                cand = data[sgb].astype(np.int64)              # (m, 4)
+                # lookahead: re-path every candidate victim and check
+                # whether its other-side target bucket has room
+                lvl4 = np.repeat(level[ki], SLOTS)
+                bkt4 = np.repeat(bucket[ki], SLOTS)
+                flat = cand.reshape(-1)
+                look, _ = _repath_batch(
+                    lvl4, bkt4, flat & 1, (flat >> 1) & 0x1FF, flat >> 10,
+                    here.lo, here.hi, there.lo, there.hi,
+                    self.log_side_size, self.cursor, self.cursor)
+                tgt = look[0] * stride + look[1]
+                has_room = ((there.data[tgt] >> 10) == 0).any(axis=1) \
+                    .reshape(m, SLOTS)
+                best = np.argmax(has_room, axis=1)
+                any_room = has_room[np.arange(m), best]
+                fallback = ((sgb.astype(np.uint64)
+                             * np.uint64(0x9E3779B97F4A7C15) + gen_salt)
+                            >> np.uint64(62)).astype(np.int64)
+                slot = np.where(any_room, best, fallback)
+                victims = cand[np.arange(m), slot]
+                data[sgb, slot] = (long_fp[ki] | (fp[ki] << np.int64(1))
+                                   | (tail[ki] << np.int64(10))) \
+                    .astype(np.uint16)
+                main, extra = _repath_batch(
+                    level[ki], bucket[ki], victims & 1,
+                    (victims >> 1) & 0x1FF, victims >> 10,
+                    here.lo, here.hi, there.lo, there.hi,
+                    self.log_side_size, self.cursor, self.cursor)
+                for arrs, t in ((main, ttl[ki]),
+                                (extra, np.full(len(extra[0]), 128,
+                                                dtype=np.int64))):
+                    if len(arrs[0]) == 0:
+                        continue
+                    nxt["level"].append(arrs[0])
+                    nxt["bucket"].append(arrs[1])
+                    nxt["long_fp"].append(arrs[2])
+                    nxt["fp"].append(arrs[3])
+                    nxt["tail"].append(arrs[4])
+                    nxt["side"].append(np.full(len(arrs[0]), 1 - s,
+                                               dtype=np.int64))
+                    nxt["ttl"].append(t)
+            if not nxt["level"]:
+                return
+            level = np.concatenate(nxt["level"])
+            bucket = np.concatenate(nxt["bucket"])
+            long_fp = np.concatenate(nxt["long_fp"])
+            fp = np.concatenate(nxt["fp"])
+            tail = np.concatenate(nxt["tail"])
+            side_arr = np.concatenate(nxt["side"])
+            ttl = np.concatenate(nxt["ttl"])
+            gen += 1
+
+    def _place_vec(self, s: int, level, bucket, long_fp, fp,
+                   tail) -> np.ndarray:
+        """Vectorized first-empty-slot placement (the rank trick from
+        TCF _place_vec over the flat strided layout); returns the
+        placed mask."""
+        side = self.sides[s]
+        n = len(level)
+        placed = np.zeros(n, dtype=bool)
+        if n == 0:
+            return placed
+        want = (long_fp | (fp << np.int64(1))
+                | (tail << np.int64(10))).astype(np.uint16)
+        gb = level * side.stride + bucket
+        order = np.argsort(gb, kind="stable")
+        g_sorted = gb[order]
+        uniq, start, counts = np.unique(g_sorted, return_index=True,
+                                        return_counts=True)
+        empty_mask = (side.data[uniq] >> 10) == 0
+        n_empty = empty_mask.sum(axis=1)
+        rank = np.arange(n) - np.repeat(start, counts)
+        k_per = np.repeat(np.minimum(n_empty, counts), counts)
+        sel = rank < k_per
+        if sel.any():
+            slot_order = np.argsort(~empty_mask, axis=1, kind="stable")
+            u_idx = np.repeat(np.arange(len(uniq)), counts)
+            rows = uniq[u_idx[sel]]
+            slots = slot_order[u_idx[sel], rank[sel]]
+            side.data[rows, slots] = want[order[sel]]
+            self.occupied += int(sel.sum())
+            placed[order[sel]] = True
+        return placed
 
     # --- growth -----------------------------------------------------------
     def _upsize(self) -> None:
-        """minimal-taffy-cuckoo.c:105-194: double only levels[cursor]."""
-        old_level = [self.sides[0].levels[self.cursor],
-                     self.sides[1].levels[self.cursor]]
+        """minimal-taffy-cuckoo.c:105-194: double only levels[cursor].
+        Scalar, reference-exact (used by add_hash / add_hashes_exact)."""
+        cur = self.cursor
+        old_level = [self.sides[0].level(cur).copy(),
+                     self.sides[1].level(cur).copy()]
         for i in range(2):
-            self.sides[i].levels[self.cursor] = np.zeros(
-                (2 << self.log_side_size, SLOTS), dtype=np.uint16)
+            side = self.sides[i]
+            base = cur * side.stride
+            side.data[base:base + side.stride] = 0
+            side.double_level(cur)
         self.cursor += 1
         old_stash = [self.sides[0].stash, self.sides[1].stash]
         self.sides[0].stash = []
@@ -305,12 +680,61 @@ class MinimalTaffyCuckooFilter:
                         self._insert_detail(s, q, 128)
                     self._insert_detail(s, r, 128)
         if self.cursor == LEVELS:
-            self.cursor = 0
-            self.log_side_size += 1
-            for i in range(2):
-                self.sides[i].lo, self.sides[i].hi = \
-                    self.sides[i].hi, self.sides[i].lo
-            # levels were doubled one-by-one; all now have the new size
+            self._wrap()
+
+    def _upsize_vec(self) -> None:
+        """Vectorized _upsize: batch re-path of levels[cursor] contents
+        and the stash through the same paths algebra, placed by the
+        generational kick walk. Set-preserving, probe-equivalent (the
+        TCF _upsize_vec contract)."""
+        cur = self.cursor
+        old_level = [self.sides[0].level(cur).copy(),
+                     self.sides[1].level(cur).copy()]
+        for i in range(2):
+            side = self.sides[i]
+            base = cur * side.stride
+            side.data[base:base + side.stride] = 0
+            side.double_level(cur)
+        self.cursor += 1
+        old_stash = [self.sides[0].stash, self.sides[1].stash]
+        self.sides[0].stash = []
+        self.sides[1].stash = []
+        self.occupied -= len(old_stash[0]) + len(old_stash[1])
+        for s in range(2):
+            side = self.sides[s]
+            srcs = []
+            if old_stash[s]:
+                st = np.array(old_stash[s], dtype=np.int64)
+                srcs.append((st[:, 0], st[:, 1], st[:, 2], st[:, 3],
+                             st[:, 4]))
+            rows, cols = np.nonzero((old_level[s] >> 10) != 0)
+            if len(rows):
+                vals = old_level[s][rows, cols].astype(np.int64)
+                self.occupied -= len(rows)
+                srcs.append((np.full(len(rows), cur, dtype=np.int64),
+                             rows.astype(np.int64), vals & 1,
+                             (vals >> 1) & 0x1FF, vals >> 10))
+            if not srcs:
+                continue
+            lvl, bkt, lfp, fpp_, tl = (
+                np.concatenate([x[k] for x in srcs]) for k in range(5))
+            main, extra = _repath_batch(
+                lvl, bkt, lfp, fpp_, tl, side.lo, side.hi, side.lo,
+                side.hi, self.log_side_size, cur, self.cursor)
+            cand = [np.concatenate([m, e]) for m, e in zip(main, extra)]
+            self._kick_batch(s, *cand)
+        if self.cursor == LEVELS:
+            self._wrap()
+
+    def _wrap(self) -> None:
+        """Cursor passed the last level: side size doubles, hi/lo swap
+        (minimal-taffy-cuckoo.c:189-194)."""
+        self.cursor = 0
+        self.log_side_size += 1
+        for i in range(2):
+            self.sides[i].rebuild_for_log(self.log_side_size)
+            self.sides[i].lo, self.sides[i].hi = \
+                self.sides[i].hi, self.sides[i].lo
 
     # --- probe ------------------------------------------------------------
     def _side_find(self, side: _Side, p: tuple) -> bool:
@@ -320,7 +744,7 @@ class MinimalTaffyCuckooFilter:
                     and sl == level and sb == bucket \
                     and is_prefix_of(st, tail):
                 return True
-        row = side.levels[level][bucket]
+        row = side.data[level * side.stride + bucket]
         for i in range(SLOTS):
             v = int(row[i])
             if (v >> 10) == 0:
@@ -358,37 +782,22 @@ class MinimalTaffyCuckooFilter:
 
     def _find_batch_one(self, side: _Side, h: np.ndarray, keys: tuple,
                         full_is_short: bool) -> np.ndarray:
-        low = self.log_side_size
-        fis = 1 if full_is_short else 0
-        pre_all = h >> np.uint64(64 - LOG_LEVELS - low - HEAD + fis - TAIL)
-        raw_tail = (pre_all & np.uint64((1 << TAIL) - 1)).astype(np.int64)
-        pre = pre_all >> np.uint64(TAIL)
-        w = LOG_LEVELS + low + HEAD - fis
-        hashed = feistel_forward_batch(keys, w, pre)
-        level = (hashed >> np.uint64(low + HEAD - fis)).astype(np.int64)
-        big = level < self.cursor
-        valid = ~(big & full_is_short)
-        bi = big.astype(np.int64)
-        bucket = (hashed >> (np.uint64(HEAD - fis) - bi.astype(np.uint64))) \
-            .astype(np.int64) & ((np.int64(1) << (low + bi)) - 1)
-        long_fp = ((~big) & (not full_is_short)).astype(np.int64)
-        fp = hashed.astype(np.int64) & ((np.int64(1) << (HEAD - fis - bi)) - 1)
-        ptail = raw_tail * 2 + 1
+        level, bucket, long_fp, fp, ptail = _to_path_batch(
+            h, keys, self.cursor, self.log_side_size, full_is_short)
         out = np.zeros(len(h), dtype=bool)
-        # gather per level (≤32 distinct levels)
-        for lvl in np.unique(level[valid]):
-            mask = valid & (level == lvl)
-            rows = side.levels[lvl][bucket[mask]].astype(np.int64)  # (m,4)
+        valid = ptail != 0
+        idx = np.flatnonzero(valid)
+        if len(idx):
+            rows = side.data[level[idx] * side.stride + bucket[idx]] \
+                .astype(np.int64)                                  # (m, 4)
             slf = rows & 1
             sfp = (rows >> 1) & 0x1FF
             st = rows >> 10
-            ok = (st != 0) & (slf == long_fp[mask][:, None]) \
-                & (sfp == fp[mask][:, None]) \
+            ok = (st != 0) & (slf == long_fp[idx][:, None]) \
+                & (sfp == fp[idx][:, None]) \
                 & is_prefix_of_batch(np.maximum(st, 1),
-                                     ptail[mask][:, None])
-            sub = ok.any(axis=1)
-            idx = np.flatnonzero(mask)
-            out[idx[sub]] = True
+                                     ptail[idx][:, None])
+            out[idx[ok.any(axis=1)]] = True
         for (sl, sb, slf, sfp, st) in side.stash:
             if st == 0:
                 continue
@@ -421,7 +830,8 @@ class MinimalTaffyCuckooFilter:
                 side.lo[1][0], side.lo[1][1]))
         for s in range(2):
             side = self.sides[s]
-            for lvl_i, lv in enumerate(side.levels):
+            for i in range(LEVELS):
+                lv = side.level(i)
                 parts.append(struct.pack("<I", lv.shape[0]))
                 parts.append(lv.astype("<u2").tobytes())
             parts.append(struct.pack("<I", len(side.stash)))
@@ -455,10 +865,13 @@ class MinimalTaffyCuckooFilter:
             for i in range(LEVELS):
                 (nb,) = struct.unpack_from("<I", blob, off)
                 off += 4
-                side.levels[i] = np.frombuffer(
+                lv = np.frombuffer(
                     blob, dtype="<u2", count=nb * SLOTS, offset=off) \
-                    .astype(np.uint16).reshape(nb, SLOTS).copy()
+                    .astype(np.uint16).reshape(nb, SLOTS)
                 off += nb * SLOTS * 2
+                side.width[i] = nb
+                base = i * side.stride
+                side.data[base:base + nb] = lv
             (cnt,) = struct.unpack_from("<I", blob, off)
             off += 4
             stash = []

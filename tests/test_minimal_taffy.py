@@ -86,6 +86,33 @@ def test_fpp_bounded():
     assert f.find_hashes(absent).mean() < 0.03
 
 
+def test_bulk_insert_large_zero_fn_and_fast_path():
+    """The vectorized bulk path (pre-size to wrap boundary + batched
+    kick walk) must stay zero-FN across growth, keep the stash tiny,
+    and keep FPP within the structural bound."""
+    ks = splitmix64(200_000, seed=76)
+    f = MinimalTaffyCuckooFilter.create_with_bytes(1)
+    f.add_hashes(ks)
+    assert f.find_hashes(ks).all()
+    assert len(f.sides[0].stash) + len(f.sides[1].stash) <= 8
+    absent = splitmix64(400_000, seed=76)[200_000:]
+    assert f.find_hashes(absent).mean() < 0.03
+    g = MinimalTaffyCuckooFilter.deserialize(f.serialize())
+    assert g == f and g.find_hashes(ks).all()
+
+
+def test_bulk_then_scalar_interleave():
+    """Mixing bulk batches with per-key inserts (the streaming
+    incremental-build pattern) preserves membership of everything."""
+    ks = splitmix64(30_000, seed=77)
+    f = MinimalTaffyCuckooFilter.create_with_bytes(1)
+    f.add_hashes(ks[:10_000])
+    for k in ks[10_000:10_100]:
+        f.add_hash(int(k))
+    f.add_hashes(ks[10_100:])
+    assert f.find_hashes(ks).all()
+
+
 def test_union_undefined():
     f = MinimalTaffyCuckooFilter.create_with_bytes(1)
     with pytest.raises(NotImplementedError):
