@@ -1,7 +1,11 @@
 """Near-duplicate detection for training-data pipelines.
 
 Four detectors, all built on Arrow-vectorized kernels (numpy inside
-``mapInPandas``/``applyInPandas``; no per-row Python in the hot path):
+``mapInPandas``/``applyInPandas``). Token hashing, shingling, minhash
+signatures and simhash votes are batched across the whole Arrow batch
+(fixed-width token packing + flat segment ops); the remaining
+Python-level work is the C-speed tokenize/encode boundary, O(1) per
+token regardless of byte length:
 
 - exact: groupBy sha256 key (see __spark_entry__ dedup_exact_by_lang).
 - MinHash + LSH: word-shingle → k-permutation minhash signature →
@@ -26,31 +30,66 @@ from pyspark.sql.types import (ArrayType, DoubleType, LongType, StringType,
                                StructField, StructType)
 
 _M61 = (1 << 61) - 1
+_P = np.uint64(0x100000001B3)          # FNV prime as polynomial base
+_PAD = "\x00"
 
 
-def _hash_tokens(tokens: list[str]) -> np.ndarray:
-    """Stable 64-bit hashes of tokens (FNV-1a, vectorized per doc)."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = 0xCBF29CE484222325
-        for b in t.encode("utf-8"):
-            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        out[i] = h
-    return out
+def _hash_token_batch(tokens: list[str]) -> np.ndarray:
+    """Stable 64-bit hashes for a whole batch of tokens at once.
+
+    Tokens pack to fixed-width words — first 16 utf-8 bytes as two
+    little-endian uint64 lanes, last 8 bytes as a third, byte length as
+    a fourth — mixed with odd constants and a splitmix64 avalanche.
+    Distinct natural-language/code tokens collide only if they share
+    the first 16 AND last 8 bytes AND length. The per-token Python is
+    one encode + two C-level slice/pads; all arithmetic is vectorized
+    (the old per-token, per-byte FNV loop is gone)."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    enc = [t.encode("utf-8") for t in tokens]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.uint64, count=n)
+    head = b"".join(e[:16].ljust(16, b"\0") for e in enc)
+    tail = b"".join(e[-8:].rjust(8, b"\0") for e in enc)
+    hw = np.frombuffer(head, dtype="<u8").reshape(n, 2)
+    tw = np.frombuffer(tail, dtype="<u8")
+    with np.errstate(over="ignore"):         # mod-2^64 wrap is the hash
+        z = (hw[:, 0] * np.uint64(0x9E3779B97F4A7C15)
+             ^ hw[:, 1] * np.uint64(0xC2B2AE3D27D4EB4F)
+             ^ tw * np.uint64(0x100000001B3)
+             ^ lens * np.uint64(0xFF51AFD7ED558CCD))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _shingle_hashes_batch(texts, width: int) -> list[np.ndarray]:
+    """Word w-shingle hash sets for a whole batch: tokenize all docs,
+    hash every token in one vectorized pass, slide the w-window over
+    the flat hash array (per-doc boundaries respected), then np.unique
+    per doc."""
+    toks = []
+    for t in texts:
+        tk = t.split()
+        if len(tk) < width:
+            tk = tk + [_PAD] * (width - len(tk))
+        toks.append(tk)
+    lens = np.fromiter((len(tk) for tk in toks), dtype=np.int64,
+                       count=len(toks))
+    flat = [w for tk in toks for w in tk]
+    th = _hash_token_batch(flat)
+    total = len(th) - width + 1
+    acc = np.zeros(max(total, 0), dtype=np.uint64)
+    for j in range(width):
+        acc = acc * np.uint64(1099511628211) + th[j:j + total]
+    starts = np.cumsum(lens) - lens
+    return [np.unique(acc[s:s + c])
+            for s, c in zip(starts, lens - width + 1)]
 
 
 def _shingle_hashes(text: str, width: int) -> np.ndarray:
-    """Word w-shingle hashes: hash successive token windows by mixing
-    token hashes with position multipliers (vectorized sliding dot)."""
-    tokens = text.split()
-    if len(tokens) < width:
-        tokens = tokens + ["\x00"] * (width - len(tokens))
-    th = _hash_tokens(tokens)
-    n = len(th) - width + 1
-    acc = np.zeros(n, dtype=np.uint64)
-    for j in range(width):
-        acc = acc * np.uint64(1099511628211) + th[j:j + n]
-    return np.unique(acc)
+    """Single-doc convenience wrapper over the batch kernel."""
+    return _shingle_hashes_batch([text], width)[0]
 
 
 # minhash permutations: h_i(x) = (a_i * x + b_i) mod 2^61-1, seeded
@@ -77,6 +116,45 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray,
     return prod.min(axis=0)
 
 
+def minhash_signatures_batch(shingle_sets: list[np.ndarray],
+                             a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(docs, k) signature matrix in one pass: flat modular multiply
+    over every shingle of the batch, per-doc minima via
+    np.minimum.reduceat, chunked so the (shingles, k) temporary stays
+    cache-friendly."""
+    k = len(a)
+    n = len(shingle_sets)
+    out = np.full((n, k), np.uint64(_M61), dtype=np.uint64)
+    lens = np.fromiter((len(s) for s in shingle_sets), dtype=np.int64,
+                       count=n)
+    nz = np.flatnonzero(lens > 0)
+    if len(nz) == 0:
+        return out
+    flat = np.concatenate([shingle_sets[i] for i in nz])
+    x = (flat % np.uint64(_M61)).astype(np.uint64)
+    doc_ends = np.cumsum(lens[nz])
+    doc_starts = doc_ends - lens[nz]
+    max_rows = max(1, (1 << 22) // k)     # ~32 MB uint64 temporary
+    d = 0
+    while d < len(nz):
+        e = d
+        while e < len(nz) and doc_ends[e] - doc_starts[d] <= max_rows:
+            e += 1
+        e = max(e, d + 1)
+        seg = slice(doc_starts[d], doc_ends[e - 1])
+        xs = x[seg]
+        lo = a[None, :] * (xs[:, None] & np.uint64(0x3FFFFFFF))
+        hi = a[None, :] * (xs[:, None] >> np.uint64(30))
+        prod = (lo % np.uint64(_M61)
+                + ((hi % np.uint64(_M61)) << np.uint64(30))
+                % np.uint64(_M61)
+                + b[None, :]) % np.uint64(_M61)
+        red_at = (doc_starts[d:e] - doc_starts[d]).astype(np.int64)
+        out[nz[d:e]] = np.minimum.reduceat(prod, red_at, axis=0)
+        d = e
+    return out
+
+
 def minhash_signatures_df(df: DataFrame, id_col: str, text_col: str,
                           k: int = 64, shingle_width: int = 3) -> DataFrame:
     """→ (id, signature: array<long>) via mapInPandas."""
@@ -88,24 +166,63 @@ def minhash_signatures_df(df: DataFrame, id_col: str, text_col: str,
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = [minhash_signature(
-                _shingle_hashes(t, shingle_width), a, b).view(np.int64)
-                .tolist() for t in pdf[text_col]]
-            yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
+            shingle_sets = _shingle_hashes_batch(pdf[text_col],
+                                                 shingle_width)
+            sigs = minhash_signatures_batch(shingle_sets, a, b)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "signature": [r.tolist() for r in sigs.view(np.int64)]})
 
     return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def cap_buckets(buckets: DataFrame, key_cols: list[str],
+                max_bucket: int) -> DataFrame:
+    """Drop members of degenerate LSH buckets (> max_bucket rows per
+    key) before a bucket self-join — one boilerplate/empty-doc bucket
+    is quadratic at scale. NOT a silent cap: dropped members carry
+    ``bucket_size`` > max_bucket in the returned frame's complement,
+    and callers can audit via ``lsh_bucket_stats``. Near-dups inside a
+    dropped bucket are still reachable through their other bands, and
+    exact duplicates through the sha-key exact-dedup pass."""
+    w = buckets.groupBy(*key_cols).agg(F.count("*").alias("bucket_size"))
+    return (buckets.join(F.broadcast(
+        w.where(F.col("bucket_size") > max_bucket)
+        .select(*key_cols, F.lit(True).alias("__oversized"))),
+        on=key_cols, how="left")
+        .where(F.col("__oversized").isNull())
+        .drop("__oversized"))
+
+
+def lsh_bucket_stats(buckets: DataFrame, key_cols: list[str],
+                     max_bucket: int) -> DataFrame:
+    """Audit companion to cap_buckets: (n_buckets, n_oversized,
+    n_dropped_rows, max_size) so a pipeline can log exactly what the
+    cap removed."""
+    sizes = buckets.groupBy(*key_cols).agg(F.count("*").alias("sz"))
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum((F.col("sz") > max_bucket).cast("long"))
+        .alias("n_oversized"),
+        F.sum(F.when(F.col("sz") > max_bucket, F.col("sz"))
+              .otherwise(F.lit(0))).alias("n_dropped_rows"),
+        F.max("sz").alias("max_size"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       k: int = 64, bands: int = 16,
                       shingle_width: int = 3,
-                      threshold: float = 0.8) -> DataFrame:
+                      threshold: float = 0.8,
+                      max_bucket: int = 256) -> DataFrame:
     """Candidate generation + exact verification.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >=
     threshold. The only row-scale shuffle is (band_idx, band_hash,
     id) — candidates within a bucket pair up via a self-join, then an
-    exact n-gram Jaccard verifies each candidate pair once.
+    exact n-gram Jaccard verifies each candidate pair once. Buckets
+    larger than max_bucket (degenerate: empty docs, boilerplate) are
+    excluded from the self-join (see cap_buckets); pass
+    max_bucket=None to disable.
     """
     rows_per_band = k // bands
     sigs = minhash_signatures_df(df, id_col, text_col, k, shingle_width)
@@ -121,6 +238,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     buckets = (sigs.select(id_col, F.explode(F.array(*band_cols))
                            .alias("band_bucket"))
                .select(id_col, "band_bucket.band", "band_bucket.bh"))
+    if max_bucket is not None:
+        buckets = cap_buckets(buckets, ["band", "bh"], max_bucket)
     left = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
     right = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
     cand = (left.join(right, on=["band", "bh"])
@@ -152,10 +271,10 @@ def verify_jaccard_pairs(pairs: DataFrame, docs: DataFrame, id_col: str,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            sas = _shingle_hashes_batch(pdf["text_a"], shingle_width)
+            sbs = _shingle_hashes_batch(pdf["text_b"], shingle_width)
             jac = np.empty(len(pdf))
-            for i, (ta, tb) in enumerate(zip(pdf["text_a"], pdf["text_b"])):
-                sa = _shingle_hashes(ta, shingle_width)
-                sb = _shingle_hashes(tb, shingle_width)
+            for i, (sa, sb) in enumerate(zip(sas, sbs)):
                 inter = len(np.intersect1d(sa, sb, assume_unique=True))
                 union = len(sa) + len(sb) - inter
                 jac[i] = inter / union if union else 1.0
@@ -170,17 +289,36 @@ def verify_jaccard_pairs(pairs: DataFrame, docs: DataFrame, id_col: str,
 # --- SimHash -----------------------------------------------------------
 
 def simhash_batch(texts) -> np.ndarray:
-    """64-bit simhash per text: sign of per-bit sums of token hashes."""
-    out = np.empty(len(texts), dtype=np.uint64)
-    bitcols = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        th = _hash_tokens(t.split())
-        if len(th) == 0:
-            out[i] = 0
-            continue
-        bits = (th[:, None] & bitcols[None, :]) != 0
-        score = bits.sum(axis=0) * 2 - len(th)   # (+1/-1 votes)
-        out[i] = np.uint64((bitcols[score > 0]).sum())
+    """64-bit simhash per text: sign of per-bit sums of token hashes.
+    All tokens of the batch hash in one vectorized pass; per-doc bit
+    votes come from one reduceat over the (n_tokens, 64) bit matrix."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    toks = [t.split() for t in texts]
+    lens = np.fromiter((len(tk) for tk in toks), dtype=np.int64, count=n)
+    flat = [w for tk in toks for w in tk]
+    if not flat:
+        return out
+    th = _hash_token_batch(flat)
+    # unpackbits keeps the matrix uint8 (8 bytes/token -> 64 cols);
+    # per-doc votes = difference of a prefix-sum (one SIMD cumsum pass,
+    # no per-doc Python). Column j is bit 8*(j//8) + 7 - j%8 of the
+    # little-endian uint64.
+    bits = np.unpackbits(th.view(np.uint8)).reshape(len(th), 64)
+    col = np.arange(64)
+    weights = np.uint64(1) << (8 * (col // 8) + 7 - col % 8).astype(
+        np.uint64)
+    csum = np.zeros((len(th) + 1, 64), dtype=np.int32)
+    np.cumsum(bits, axis=0, dtype=np.int32, out=csum[1:])
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    nz = lens > 0
+    votes = csum[ends[nz]] - csum[starts[nz]]
+    score = votes * 2 - lens[nz][:, None]        # (+1/-1 votes)
+    vals = ((score > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
+    out[nz] = vals
     return out
 
 
@@ -201,10 +339,13 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       max_bucket: int = 256) -> DataFrame:
     """Candidates via 4×16-bit band equality (any doc pair within
     Hamming distance 3 shares at least one of 4 bands), verified by
-    exact popcount. → (id_a, id_b, hamming)."""
+    exact popcount. → (id_a, id_b, hamming). Degenerate band buckets
+    (> max_bucket members — e.g. simhash 0 from empty docs) are
+    excluded from the self-join (cap_buckets semantics)."""
     sh = simhash_df(df, id_col, text_col).cache()
     bands = [(F.shiftright(F.col("simhash"), 16 * i)
               .bitwiseAND(F.lit(0xFFFF))).alias(f"band{i}")
@@ -212,12 +353,14 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     with_bands = sh.select(id_col, "simhash", *bands)
     cands = None
     for i in range(4):
-        l = with_bands.select(F.col(id_col).alias("id_a"),
-                              F.col("simhash").alias("sh_a"),
-                              F.col(f"band{i}").alias("bk"))
-        r = with_bands.select(F.col(id_col).alias("id_b"),
-                              F.col("simhash").alias("sh_b"),
-                              F.col(f"band{i}").alias("bk"))
+        one = with_bands.select(id_col, "simhash",
+                                F.col(f"band{i}").alias("bk"))
+        if max_bucket is not None:
+            one = cap_buckets(one, ["bk"], max_bucket)
+        l = one.select(F.col(id_col).alias("id_a"),
+                       F.col("simhash").alias("sh_a"), "bk")
+        r = one.select(F.col(id_col).alias("id_b"),
+                       F.col("simhash").alias("sh_b"), "bk")
         c = l.join(r, on="bk").where(F.col("id_a") < F.col("id_b")) \
             .select("id_a", "id_b", "sh_a", "sh_b")
         cands = c if cands is None else cands.unionAll(c)

@@ -197,10 +197,18 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 def embedding_near_pairs(df: DataFrame, threshold: float = 0.9,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding", n_bits: int = 8,
-                         dim: int = 64) -> DataFrame:
+                         dim: int = 64,
+                         max_bucket: int = 4096) -> DataFrame:
     """Near-duplicate vectors: bucketed self-join candidates, exact
-    cosine verification → (id_a, id_b, cosine >= threshold)."""
+    cosine verification → (id_a, id_b, cosine >= threshold). Buckets
+    with more than max_bucket members (zero vectors, constant
+    embeddings) are excluded from the self-join — see
+    dedup.cap_buckets for the audit contract; pass max_bucket=None for
+    the exhaustive small-n path (n_bits=0 oracle verification)."""
+    from .dedup import cap_buckets
     b = lsh_buckets(df, id_col, vec_col, n_bits, dim)
+    if max_bucket is not None:
+        b = cap_buckets(b, ["bucket"], max_bucket)
     withb = df.join(b, on=id_col)
     l = withb.select(F.col(id_col).alias("id_a"),
                      F.col(vec_col).alias("__va"), "bucket")

@@ -150,3 +150,58 @@ def test_multimodal_features_deterministic(spark):
     b = extract_features(media.repartition(5)).orderBy("media_id").collect()
     assert [r.feature for r in a] == [r.feature for r in b]
     assert all(len(r.feature) == 16 for r in a)
+
+
+def test_shingle_batch_matches_single():
+    """The batch shingle kernel is the single-doc kernel vectorized —
+    identical hash sets either way."""
+    from libfilter_spark.functions.dedup import (_shingle_hashes,
+                                                 _shingle_hashes_batch)
+    texts = ["a b c d e f", "", "one", "x " * 50, "a b c"]
+    batch = _shingle_hashes_batch(texts, 3)
+    for t, got in zip(texts, batch):
+        assert np.array_equal(got, _shingle_hashes(t, 3)), t
+
+
+def test_lsh_skewed_bucket_capped(spark):
+    """Adversarial skew: 30% identical boilerplate docs form one
+    degenerate LSH bucket per band. With the cap the self-join stays
+    linear (no quadratic candidate blowup), the planted distinct
+    near-dup is still found via its own buckets, and the audit stats
+    report exactly what was dropped."""
+    from libfilter_spark.functions.dedup import lsh_bucket_stats
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    boiler = " ".join(["lorem ipsum dolor sit amet"] * 12)
+    for i in range(300):
+        rows.append((i, boiler))                     # degenerate mass
+    for i in range(300, 1000):
+        rows.append((i, " ".join(rng.choice(vocab, size=40))))
+    # planted near-dup pair among the distinct docs
+    twin = rows[500][1].split()
+    twin[5] = "CHANGED"
+    rows.append((2000, " ".join(twin)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.7,
+                              max_bucket=64)
+    got = {(a, b) for a, b in pairs.select("id_a", "id_b").collect()}
+    assert (500, 2000) in got
+    # no boilerplate pair survived the cap (300 identical docs would
+    # otherwise contribute ~45k pairs)
+    assert not any(a < 300 and b < 300 for a, b in got)
+
+
+def test_cap_buckets_stats(spark):
+    from libfilter_spark.functions.dedup import (cap_buckets,
+                                                 lsh_bucket_stats)
+    rows = [(i, i % 3) for i in range(30)] + [(100 + i, 99) for i in
+                                              range(50)]
+    df = spark.createDataFrame(rows, "id long, bh long")
+    stats = lsh_bucket_stats(df, ["bh"], max_bucket=20).collect()[0]
+    assert stats.n_buckets == 4
+    assert stats.n_oversized == 1
+    assert stats.n_dropped_rows == 50
+    assert stats.max_size == 50
+    kept = cap_buckets(df, ["bh"], max_bucket=20)
+    assert kept.count() == 30
