@@ -52,6 +52,23 @@ class BlockFilter:
     def find_hashes(self, hashes: np.ndarray) -> np.ndarray:
         return K.find_hashes(self.state, hashes)
 
+    # --- Java-interop 32-bit entry points (BlockFilter.java:236-260) ----
+    # Do not mix: a value added via add_hash_32 is NOT found by
+    # find_hash(h) unless h is the rehashed 64-bit value
+    # (java/.../Filter.java:6-33 contract).
+    def add_hash_32(self, hash32: int) -> None:
+        K.add_hashes_32(self.state, np.array([hash32], dtype=np.int32))
+
+    def add_hashes_32(self, hashes32: np.ndarray) -> None:
+        K.add_hashes_32(self.state, hashes32)
+
+    def find_hash_32(self, hash32: int) -> bool:
+        return bool(K.find_hashes_32(
+            self.state, np.array([hash32], dtype=np.int32))[0])
+
+    def find_hashes_32(self, hashes32: np.ndarray) -> np.ndarray:
+        return K.find_hashes_32(self.state, hashes32)
+
     # --- merge ----------------------------------------------------------
     def union(self, other: "BlockFilter") -> "BlockFilter":
         return BlockFilter(K.union(self.state, other.state))
@@ -69,6 +86,16 @@ class BlockFilter:
     @classmethod
     def deserialize(cls, blob: bytes) -> "BlockFilter":
         return cls(K.deserialize(blob))
+
+    @classmethod
+    def deserialize_from_ints(cls, ints) -> "BlockFilter":
+        """int32[] payload (Java getPayload() / Go) → filter
+        (c/lib/block.c:47-53)."""
+        return cls(K.deserialize_from_ints(ints))
+
+    def to_ints(self) -> np.ndarray:
+        """Java-compatible int32[] payload (getPayload())."""
+        return K.to_ints(self.state)
 
     def size_in_bytes(self) -> int:
         return K.size_in_bytes(self.state)

@@ -112,6 +112,22 @@ class TaffyBlockFilter:
             np.logical_or(out, K.find_hashes(lvl, hashes), out=out)
         return out
 
+    # --- Java-interop 32-bit entries (TaffyBlockFilter.java:121-134):
+    # per-level AddHash32/FindHash32 rehash identically, so routing the
+    # rehashed 64-bit value through the normal path is equivalent.
+    def add_hash_32(self, hash32: int) -> None:
+        self.add_hashes(K.rehash_32(np.array([hash32], dtype=np.int32)))
+
+    def add_hashes_32(self, hashes32: np.ndarray) -> None:
+        self.add_hashes(K.rehash_32(hashes32))
+
+    def find_hash_32(self, hash32: int) -> bool:
+        return bool(self.find_hashes_32(
+            np.array([hash32], dtype=np.int32))[0])
+
+    def find_hashes_32(self, hashes32: np.ndarray) -> np.ndarray:
+        return self.find_hashes(K.rehash_32(hashes32))
+
     # --- merge ----------------------------------------------------------
     def union(self, other: "TaffyBlockFilter") -> "TaffyBlockFilter":
         if (self.ndv0, self.fpp_goal) != (other.ndv0, other.fpp_goal):

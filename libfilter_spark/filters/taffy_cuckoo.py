@@ -176,6 +176,40 @@ class TaffyCuckooFilter:
         for k in hashes:
             self.add_hash(int(k))
 
+    # --- Java-interop 32-bit entries (TaffyCuckooFilter.java:241-253):
+    # l = (bits(k) << 32) | mulhi64(k_sext * 0x05C2C3E0FFB449C7) — the
+    # left shift comes first, so (unlike BlockFilter.AddHash32) no
+    # sign-extension reaches the upper half.
+    _REHASH_32 = 0x05C2C3E0FFB449C7
+
+    @classmethod
+    def _rehash_32(cls, k: int) -> int:
+        sext = (int(k) + (1 << 64)) % (1 << 64)       # two's complement
+        low = ((cls._REHASH_32 * sext) & ((1 << 64) - 1)) >> 32
+        return ((int(k) & 0xFFFFFFFF) << 32) | low
+
+    def add_hash_32(self, k: int) -> bool:
+        return self.add_hash(self._rehash_32(k))
+
+    def find_hash_32(self, k: int) -> bool:
+        return self.find_hash(self._rehash_32(k))
+
+    def add_hashes_32(self, hashes32: np.ndarray) -> None:
+        h = np.asarray(hashes32, dtype=np.int32)
+        sext = h.astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            low = (np.uint64(self._REHASH_32) * sext) >> np.uint64(32)
+        bits = h.view(np.uint32).astype(np.uint64)
+        self.add_hashes((bits << np.uint64(32)) | low)
+
+    def find_hashes_32(self, hashes32: np.ndarray) -> np.ndarray:
+        h = np.asarray(hashes32, dtype=np.int32)
+        sext = h.astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            low = (np.uint64(self._REHASH_32) * sext) >> np.uint64(32)
+        bits = h.view(np.uint32).astype(np.uint64)
+        return self.find_hashes((bits << np.uint64(32)) | low)
+
     def add_hashes(self, hashes: np.ndarray) -> None:
         """Vectorized batch insert (the Spark hot path).
 

@@ -112,6 +112,54 @@ def find_hashes(state: np.ndarray, hashes: np.ndarray) -> np.ndarray:
     return (g == m64).all(axis=1)
 
 
+# Java interop: 32-bit hash entry points (BlockFilter.java:236-260).
+# A 32-bit hash re-hashes internally to 64 bits so bucket index (upper
+# half) and lane masks (lower half) stay independent.
+REHASH_32 = np.uint64(0xD1012A3A7A1F4A8A)
+
+
+def rehash_32(hashes32: np.ndarray) -> np.ndarray:
+    """int32 → the uint64 the Java binding derives:
+    ``hash64 = (((REHASH_32 * (long) h) >>> 32) << 32) | (long) h``.
+    Both promotions SIGN-EXTEND (Java int→long), including the final
+    OR — so negative inputs force the upper 32 bits to all-ones. That
+    quirk is part of the wire contract (a value added via AddHash32 in
+    Java must be found here and vice versa), so it is replicated
+    verbatim, not "fixed"."""
+    h = np.asarray(hashes32, dtype=np.int32)
+    sext = h.astype(np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        top = (REHASH_32 * sext) >> np.uint64(32)
+    return (top << np.uint64(32)) | sext
+
+
+def add_hashes_32(state: np.ndarray, hashes32: np.ndarray) -> None:
+    add_hashes(state, rehash_32(hashes32))
+
+
+def find_hashes_32(state: np.ndarray, hashes32: np.ndarray) -> np.ndarray:
+    return find_hashes(state, rehash_32(hashes32))
+
+
+def deserialize_from_ints(ints) -> np.ndarray:
+    """Java/Go interop entry (``c/lib/block.c:47-53``, proven
+    cross-language by the C++↔Java JavaSerDe test,
+    ``cpp/extras/test/block.cpp:263-306``): an int32[] payload (Java
+    ``getPayload()``) reinterpreted two's-complement as the uint32 word
+    image. Length must be a positive multiple of 8 (whole buckets)."""
+    arr = np.asarray(ints, dtype=np.int32)
+    if arr.size == 0 or arr.size % WORDS_PER_BUCKET != 0:
+        raise ValueError(f"int payload length {arr.size} not a positive "
+                         f"multiple of {WORDS_PER_BUCKET}")
+    return arr.astype("<i4").view("<u4").astype(np.uint32).copy()
+
+
+def to_ints(state: np.ndarray) -> np.ndarray:
+    """Inverse of deserialize_from_ints: the Java-compatible int32[]
+    payload view of the filter."""
+    return state.astype("<u4", copy=False).view("<i4").astype(np.int32)
+
+
 def union(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """OR-merge of equal-sized block filters — commutative, associative,
     idempotent; the UDAF merge for the block family (upstream TODO at
