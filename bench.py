@@ -129,9 +129,22 @@ def main() -> None:
         f.add_hashes(fam_keys)
         return f
 
+    def build_tcf_grown():
+        f = TaffyCuckooFilter.create_with_bytes(64)
+        f.add_hashes(fam_keys)
+        return f
+
+    def build_mtcf():
+        from libfilter_spark.filters import MinimalTaffyCuckooFilter
+        f = MinimalTaffyCuckooFilter.create_with_bytes(1)
+        f.add_hashes(fam_keys)
+        return f
+
     time_family("taffy_cuckoo", build_tcf)
+    time_family("taffy_cuckoo_grown", build_tcf_grown)
     time_family("frozen_tcf", build_tcf, probe_target=lambda f: f.freeze())
     time_family("taffy_block", build_tbf)
+    time_family("minimal_taffy", build_mtcf)
     time_family("static_xor", lambda: StaticXorFilter.construct(fam_keys))
 
     total = round(sum(queries.values()), 3)
