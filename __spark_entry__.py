@@ -678,6 +678,30 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "n_hits", "recall"))
 
 
+@_register("ann_ivf_recall")
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (trained centroids, the predictable-recall 100TB path:
+    recall scales with nprobe/n_centroids instead of hyperplane seed
+    luck) vs the exact baseline: per-query recall@10. Deterministic
+    (maxmin init, no RNG) — golden-oracle checked."""
+    from libfilter_spark.functions.similarity import cosine_topk, ivf_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 10")
+    exact = cosine_topk(emb, queries, k=10) \
+        .select("query_id", F.col("neighbor_id").alias("exact_n"))
+    approx = ivf_topk(emb, queries, k=10, n_centroids=32, nprobe=8) \
+        .select("query_id", F.col("neighbor_id").alias("approx_n"))
+    hits = exact.join(approx,
+                      (exact.query_id == approx.query_id)
+                      & (exact.exact_n == approx.approx_n)) \
+        .groupBy(exact.query_id).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (exact.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+            .join(hits, on="query_id", how="left")
+            .fillna(0, subset=["n_hits"])
+            .select("query_id", "n_hits", "n_exact"))
+
+
 @_register("dedup_minhash_lsh")
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs over documents (J >= 0.5), exact-
@@ -925,8 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 GOLDENS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "goldens_sf001.json")
 GOLDEN_QUERIES = ["doc_fingerprints", "dedup_minhash_lsh", "dedup_simhash",
-                  "ann_lsh_recall", "source_code_pipeline",
-                  "multimodal_feature_audit"]
+                  "ann_lsh_recall", "ann_ivf_recall",
+                  "source_code_pipeline", "multimodal_feature_audit"]
 
 
 def _golden_literal(v, typ: str) -> str:

@@ -205,3 +205,32 @@ def test_cap_buckets_stats(spark):
     assert stats.max_size == 50
     kept = cap_buckets(df, ["bh"], max_bucket=20)
     assert kept.count() == 30
+
+
+def test_ivf_topk_high_recall_on_clusters(clustered_vectors):
+    """IVF with trained centroids: recall@10 >= 0.9 at a bounded
+    candidate budget (nprobe/n_centroids = 1/4 of the corpus scanned
+    per query) — the predictable-recall alternative to seed-lucky
+    random-hyperplane LSH."""
+    from libfilter_spark.functions.similarity import ivf_topk
+    queries = clustered_vectors.where("vec_id < 10")
+    exact = cosine_topk(clustered_vectors, queries, k=10)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = ivf_topk(clustered_vectors, queries, k=10,
+                      n_centroids=16, nprobe=4)
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_ivf_centroids_deterministic(clustered_vectors):
+    from libfilter_spark.functions.similarity import train_centroids
+    a = train_centroids(clustered_vectors, 8, sample=200)
+    b = train_centroids(clustered_vectors, 8, sample=200)
+    assert np.array_equal(a, b)
+    assert a.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
