@@ -71,12 +71,49 @@ for _ in range(3):
         .where("maybe_seen").count()
     probe_s = min(probe_s, time.perf_counter() - t0)
     assert found == n, (found, n)
+# growable taffy families: distributed partial build + merge via
+# build_filters (partials sized to their partition share; union grows)
+from libfilter_spark.spark.build import build_filters
+n_taffy = min(n, 2_000_000)
+df2 = (spark.range(0, n_taffy, numPartitions=2 * cpus)
+       .withColumn("content", F.col("id").cast("string")))
+keys2 = with_content_key_bin(df2, "content").select("key")
+keys2.count()
+keys2.mapInPandas(_noop, schema="n long").count()
+fam = {}
+for family in ("taffy_block", "taffy_cuckoo"):
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fdf = build_filters(keys2, None, family=family,
+                            ndv=max(1024, n_taffy // (2 * cpus)),
+                            fpp=0.004)
+        frow = fdf.collect()[0]
+        best = min(best, time.perf_counter() - t0)
+    fdf2 = spark.createDataFrame(
+        [(frow["family"], frow["params"], frow["n_keys"],
+          frow["n_partials"], frow["filter"])],
+        "family string, params string, n_keys long, n_partials long, "
+        "filter binary")
+    pbest = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        found = probe_with_filters(keys2, fdf2, None) \
+            .where("maybe_seen").count()
+        pbest = min(pbest, time.perf_counter() - t0)
+        assert found == n_taffy, (family, found, n_taffy)
+    fam[family] = {"build_keys_per_s": round(n_taffy / best),
+                   "probe_keys_per_s": round(n_taffy / pbest),
+                   "n": n_taffy,
+                   "filter_bytes": len(bytes(frow["filter"]))}
+
 print(json.dumps({"cpus": cpus, "n": n,
                   "build_s": round(build_s, 3),
                   "probe_s": round(probe_s, 3),
                   "build_keys_per_s": round(n / build_s),
                   "probe_keys_per_s": round(n / probe_s),
-                  "filter_bytes": len(blob)}))
+                  "filter_bytes": len(blob),
+                  "families": fam}))
 spark.stop()
 """
 
@@ -104,15 +141,30 @@ def main() -> None:
         for c in (2, 8, 32):
             r = run_at(c, n)
             best = results.get(c)
+            if best is not None:
+                # keep the best per metric across rounds (one throttle
+                # episode must not poison a configuration)
+                for fam, fr in r["families"].items():
+                    bf = best["families"][fam]
+                    fr["build_keys_per_s"] = max(fr["build_keys_per_s"],
+                                                 bf["build_keys_per_s"])
+                    fr["probe_keys_per_s"] = max(fr["probe_keys_per_s"],
+                                                 bf["probe_keys_per_s"])
             if best is None or r["build_s"] < best["build_s"]:
                 r["probe_s"] = min(r["probe_s"],
                                    best["probe_s"] if best else r["probe_s"])
                 r["probe_keys_per_s"] = round(n / r["probe_s"])
                 results[c] = r
+            else:
+                best["families"] = r["families"]
     r2, r8, r32 = results[2], results[8], results[32]
 
     def eff(lo, hi, kind):
         return results[hi][kind] / ((hi / lo) * results[lo][kind])
+
+    def eff_fam(res, family, lo=2, hi=8):
+        return res[hi]["families"][family]["build_keys_per_s"] / (
+            (hi / lo) * res[lo]["families"][family]["build_keys_per_s"])
 
     build_eff = eff(2, 8, "build_keys_per_s")
     probe_eff = eff(2, 8, "probe_keys_per_s")
@@ -124,6 +176,10 @@ def main() -> None:
         "n_keys": n,
         "probe_efficiency_2_to_8": round(probe_eff, 3),
         "build_efficiency_8_to_32": round(sat_eff, 3),
+        "taffy_block_build_efficiency_2_to_8":
+            round(eff_fam(results, "taffy_block"), 3),
+        "taffy_cuckoo_build_efficiency_2_to_8":
+            round(eff_fam(results, "taffy_cuckoo"), 3),
         **{f"local[{c}]": r for c, r in results.items()},
     }
     print(json.dumps(result))
@@ -151,6 +207,19 @@ methodology, taffy.tex:1787).
 **Scaling efficiency N→4N (local[2]→local[8], build):
 {build_eff:.3f}** (target ≥ 0.8, BASELINE.md §D). Probe efficiency
 2→8: {probe_eff:.3f}.
+
+### Growable taffy families (distributed partial build + union merge,
+### {r2['families']['taffy_block']['n']:,} keys)
+
+| config | TBF build keys/s | TBF probe keys/s | TCF build keys/s | TCF probe keys/s |
+|---|---|---|---|---|
+| local[2]  | {r2['families']['taffy_block']['build_keys_per_s']:,} | {r2['families']['taffy_block']['probe_keys_per_s']:,} | {r2['families']['taffy_cuckoo']['build_keys_per_s']:,} | {r2['families']['taffy_cuckoo']['probe_keys_per_s']:,} |
+| local[8]  | {r8['families']['taffy_block']['build_keys_per_s']:,} | {r8['families']['taffy_block']['probe_keys_per_s']:,} | {r8['families']['taffy_cuckoo']['build_keys_per_s']:,} | {r8['families']['taffy_cuckoo']['probe_keys_per_s']:,} |
+| local[32] | {r32['families']['taffy_block']['build_keys_per_s']:,} | {r32['families']['taffy_block']['probe_keys_per_s']:,} | {r32['families']['taffy_cuckoo']['build_keys_per_s']:,} | {r32['families']['taffy_cuckoo']['probe_keys_per_s']:,} |
+
+TBF build efficiency 2→8:
+{eff_fam(results, 'taffy_block'):.3f}; TCF build efficiency 2→8:
+{eff_fam(results, 'taffy_cuckoo'):.3f}.
 
 ### Why 2→8 is the honest N→4N pair on this box
 
