@@ -74,7 +74,7 @@ for _ in range(3):
 # growable taffy families: distributed partial build + merge via
 # build_filters (partials sized to their partition share; union grows)
 from libfilter_spark.spark.build import build_filters
-n_taffy = min(n, 2_000_000)
+n_taffy = min(n, 1_000_000)
 df2 = (spark.range(0, n_taffy, numPartitions=2 * cpus)
        .withColumn("content", F.col("id").cast("string")))
 keys2 = with_content_key_bin(df2, "content").select("key")
@@ -123,7 +123,7 @@ def run_at(cpus: int, n: int) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", JOB.replace("@REPO@", repo), str(cpus),
          str(n)],
-        capture_output=True, text=True, timeout=1200, cwd=repo)
+        capture_output=True, text=True, timeout=3000, cwd=repo)
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-2000:])
     return json.loads(out.stdout.strip().splitlines()[-1])

@@ -501,6 +501,75 @@ class TaffyCuckooFilter:
         result._union_one(donor)
         return result
 
+    def absorb(self, donor: "TaffyCuckooFilter") -> None:
+        """In-place vectorized union for the distributed merge path
+        (probe-equivalent, like add_hashes; the scalar `union` keeps C
+        bit-parity for the upstream contract tests).
+
+        Fixes the upstream union's scaling hole: the C union never
+        upsizes (its own TODO, taffy-cuckoo.h:377-378), so merging
+        near-full partials stashes most donor keys — measured 8k keys/s
+        distributed builds with megabyte stashes. absorb grows the
+        result to fit both populations first (each _upsize_vec is one
+        whole-table batch re-path), then ingests the donor through the
+        vectorized raw-insert path (union_help's three tail cases,
+        taffy-cuckoo.c:260-313, in batch form)."""
+        while (self.log_side_size < donor.log_side_size
+               or 0.85 * self.capacity < self.occupied + donor.occupied):
+            self._upsize_vec()
+        diff = self.log_side_size - donor.log_side_size
+        tlog = donor.log_side_size
+        for side in range(2):
+            sd = donor.sides[side]
+            tails_m = sd.data >> np.uint16(HEAD)
+            rows, cols = np.nonzero(tails_m != 0)
+            bks = rows.astype(np.uint64)
+            fps = (sd.data[rows, cols] & np.uint16(FP_MASK)) \
+                .astype(np.uint64)
+            tls = tails_m[rows, cols].astype(np.int64)
+            if sd.stash:
+                bks = np.concatenate([bks, np.array(
+                    [p[0] for p in sd.stash], dtype=np.uint64)])
+                fps = np.concatenate([fps, np.array(
+                    [p[1] for p in sd.stash], dtype=np.uint64)])
+                tls = np.concatenate([tls, np.array(
+                    [p[2] for p in sd.stash], dtype=np.int64)])
+            if len(bks) == 0:
+                continue
+            hashed = (bks << np.uint64(HEAD)) | fps
+            pre = feistel_backward_batch(sd.keys, tlog + HEAD, hashed)
+            raw = pre << np.uint64(64 - tlog - HEAD)
+            if diff == 0:
+                self._insert_raws(raw, tls)
+                continue
+            # tail_size = TAIL - ctz(tail); orin re-attaches the tail's
+            # data bits below the donor-width prefix
+            low = (tls & -tls).astype(np.uint64)
+            ctz = np.zeros(len(tls), dtype=np.int64)
+            for b in range(1, TAIL + 1):
+                ctz[(low >> np.uint64(b)) & np.uint64(1) == 1] = b
+            tail_size = TAIL - ctz
+            orin = ((tls & (tls - 1)).astype(np.uint64)
+                    << np.uint64(64 - tlog - HEAD - TAIL - 1))
+            raw = raw | orin
+            fits = tail_size >= diff
+            if fits.any():
+                self._insert_raws(
+                    raw[fits], (tls[fits] << diff) & TAIL_MASK)
+            rest = ~fits
+            if rest.any():
+                missing = (diff - tail_size)[rest]
+                rraw = raw[rest]
+                shift = np.uint64(64 - self.log_side_size - HEAD)
+                for m in np.unique(missing):
+                    sel = rraw[missing == m]
+                    reps = np.repeat(sel, 1 << m)
+                    pat = np.tile(np.arange(1 << m, dtype=np.uint64)
+                                  << shift, len(sel))
+                    self._insert_raws(
+                        reps | pat,
+                        np.full(len(reps), 1 << TAIL, dtype=np.int64))
+
     def _union_one(self, that: "TaffyCuckooFilter") -> None:
         assert that.log_side_size <= self.log_side_size
         for side in range(2):

@@ -166,8 +166,16 @@ def merge_filter_blobs(partials: DataFrame, group_cols: list[str],
         cls = FAMILIES[fam]
         blobs = sorted(pdf["filter"], key=bytes)
         acc = cls.deserialize(blobs[0])
-        for b in blobs[1:]:
-            acc = acc.union(cls.deserialize(b))
+        if hasattr(acc, "absorb"):
+            # in-place vectorized union (TCF): grows the accumulator to
+            # fit before ingesting — the scalar union never upsizes
+            # (upstream TODO) and collapses to per-slot Python + stash
+            # overflow when partials are near-full
+            for b in blobs[1:]:
+                acc.absorb(cls.deserialize(b))
+        else:
+            for b in blobs[1:]:
+                acc = acc.union(cls.deserialize(b))
         out = {c: [pdf[c].iloc[0]] for c in group_cols}
         out["family"] = [fam]
         out["params"] = [pdf["params"].iloc[0]]
