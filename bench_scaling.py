@@ -74,7 +74,7 @@ for _ in range(3):
 # growable taffy families: distributed partial build + merge via
 # build_filters (partials sized to their partition share; union grows)
 from libfilter_spark.spark.build import build_filters
-n_taffy = min(n, 1_000_000)
+n_taffy = min(n, 4_000_000)
 df2 = (spark.range(0, n_taffy, numPartitions=2 * cpus)
        .withColumn("content", F.col("id").cast("string")))
 keys2 = with_content_key_bin(df2, "content").select("key")

@@ -169,3 +169,29 @@ def test_deserialize_garbage_raises():
         TaffyCuckooFilter.deserialize(b"nope")
     with pytest.raises(ValueError):
         FrozenTaffyCuckooFilter.deserialize(b"XXXXgarbage")
+
+
+def test_absorb_merges_unequal_sizes_zero_fn():
+    """absorb (the distributed-merge union): grows the accumulator and
+    ingests donors through the batch path. Unequal sizes exercise all
+    three union_help tail cases (same-width, tail-covers-gap, missing-
+    bit enumeration). Zero FN over the union of key sets; stash stays
+    within the growth trigger; FPP stays structural."""
+    from libfilter_spark.kernels.keys import splitmix64
+
+    a_keys = splitmix64(200_000, seed=21)
+    b_keys = splitmix64(5_000, seed=22)
+    c_keys = splitmix64(60_000, seed=23)
+    a = TaffyCuckooFilter.create(200_000); a.add_hashes(a_keys)
+    b = TaffyCuckooFilter.create(5_000); b.add_hashes(b_keys)
+    c = TaffyCuckooFilter.create(60_000); c.add_hashes(c_keys)
+    a.absorb(b)
+    a.absorb(c)
+    every = np.concatenate([a_keys, b_keys, c_keys])
+    assert a.find_hashes(every).all()
+    absent = splitmix64(500_000, seed=24)
+    assert a.find_hashes(absent).mean() < 0.01
+    assert len(a.sides[0].stash) + len(a.sides[1].stash) <= 8
+    # serde round-trip of the absorbed filter
+    g = TaffyCuckooFilter.deserialize(a.serialize())
+    assert g.find_hashes(every).all()
