@@ -82,11 +82,17 @@ keys2.count()
 keys2.mapInPandas(_noop, schema="n long").count()
 fam = {}
 for family in ("taffy_block", "taffy_cuckoo"):
+    # sizing semantics differ per family: TBF union requires identical
+    # level schedules AND correct merged density, so every partial uses
+    # the full-population schedule (level 0 sized for n; OR-merge keeps
+    # FPP); TCF partials pre-size to their partition share (absorb
+    # grows the accumulator exactly)
+    ndv = n_taffy if family == "taffy_block" \
+        else max(1024, n_taffy // (2 * cpus))
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        fdf = build_filters(keys2, None, family=family,
-                            ndv=max(1024, n_taffy // (2 * cpus)),
+        fdf = build_filters(keys2, None, family=family, ndv=ndv,
                             fpp=0.004)
         frow = fdf.collect()[0]
         best = min(best, time.perf_counter() - t0)
@@ -102,9 +108,15 @@ for family in ("taffy_block", "taffy_cuckoo"):
             .where("maybe_seen").count()
         pbest = min(pbest, time.perf_counter() - t0)
         assert found == n_taffy, (family, found, n_taffy)
+    absent = (spark.range(n_taffy, 2 * n_taffy, numPartitions=2 * cpus)
+              .withColumn("content", F.col("id").cast("string")))
+    akeys = with_content_key_bin(absent, "content").select("key")
+    n_fp = probe_with_filters(akeys, fdf2, None) \
+        .where("maybe_seen").count()
     fam[family] = {"build_keys_per_s": round(n_taffy / best),
                    "probe_keys_per_s": round(n_taffy / pbest),
                    "n": n_taffy,
+                   "fpp": round(n_fp / n_taffy, 5),
                    "filter_bytes": len(bytes(frow["filter"]))}
 
 print(json.dumps({"cpus": cpus, "n": n,
@@ -245,6 +257,30 @@ slice cache-resident at any scale.
 - Filter size at fpp=0.004: {r32['filter_bytes']:,} bytes for {n:,} keys
   ({8 * r32['filter_bytes'] / n:.2f} bits/key — same sizing the C
   model produces, integer-identical sizing math).
+
+## Single-thread kernel rates (round 2; in-process back-to-back
+## min-of-3 — absolute values swing up to ~7× with this sandbox's
+## CPU throttle, relative ratios are the stable signal)
+
+| kernel | this repo | ref (C, i7-7800X) | note |
+|---|---|---|---|
+| block insert | 130 ns/key @5M | 28.6 | see floor decomposition below |
+| block probe | 122 ns/key @5M | 86.5 | u64-lane gather + in-place AND |
+| TCF build (pre-sized) | ~0.7-0.9 µs/key @1M | 0.572 (HIBP, incl. growth) | batch walk |
+| TCF build (grown from 64 B) | ~0.73 µs/key @1M | — | pre-size-by-batch; 0.83× of pre-sized |
+| MTCF bulk build | 1.3-2.1 µs/key @30k-1M | ~0.5-1 (est.) | was ~900 µs/key scalar |
+| TCF absorb merge (16-way, 1M keys) | 2.8 µs/key | n/a (upstream union never upsizes) | zero FN, empty stash |
+
+### Block-insert floor decomposition (why <60 ns/key is out of reach in numpy)
+
+Measured in one process at 5M keys (ns/key): mask+index computation
+alone 48; duplicate-lossy buffered scatter 68; duplicate-lossy
+gather-OR-scatter 109; the correct `bitwise_or.at` kernel 130. The
+duplicate-safe scatter costs only +21 over the lossy RMW floor; the
+remaining gap to C is numpy having to materialize the (n,4) u64 mask
+matrix and int64 index vector that the C version keeps in SIMD
+registers per key. 130 ns/key is within 18% of the structural numpy
+floor for this memory-access pattern.
 """)
 
 
