@@ -135,7 +135,14 @@ def probe_with_filters(df: DataFrame, filters_df: DataFrame,
                     out[idx] = f.find_hashes(keys[idx])
             return pa.array(out & valid)  # null keys are never members
 
-        udf = arrow_udf(probe, "boolean", ArrowUDFType.SCALAR)
+        # nondeterministic ONLY to stop Catalyst's constraint propagation
+        # from copying the membership filter across the semi-join's
+        # equi-condition onto the build side (a wasted full pass there:
+        # build keys are members by construction, zero FN). The probe is
+        # in fact deterministic; re-evaluation semantics are unaffected
+        # for a Filter.
+        udf = arrow_udf(probe, "boolean",
+                        ArrowUDFType.SCALAR).asNondeterministic()
         args = [F.col(c) for c in group_cols] + [F.col(key_col)]
         return df.withColumn(result_col, udf(*args))
 
@@ -147,7 +154,10 @@ def probe_with_filters(df: DataFrame, filters_df: DataFrame,
         k, valid = keys_and_valid_from_arrow(keys)
         return pa.array(f.find_hashes(k) & valid)
 
-    udf = arrow_udf(probe_global, "boolean", ArrowUDFType.SCALAR)
+    # see the grouped path: nondeterministic to keep the membership
+    # filter off the build side of downstream equi-joins
+    udf = arrow_udf(probe_global, "boolean",
+                    ArrowUDFType.SCALAR).asNondeterministic()
     return df.withColumn(result_col, udf(F.col(key_col)))
 
 
