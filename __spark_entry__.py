@@ -678,6 +678,40 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "n_hits", "recall"))
 
 
+@_register(
+    "tcf_forest_semijoin_lineitem_orders",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_totalprice > 150000)
+    GROUP BY l_returnflag
+    """)
+def q_tcf_forest_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-forest semi-join (the merge-free TCF scale path): keys
+    shuffle once by a JVM shard hash, one full-resolution taffy-cuckoo
+    filter per shard, probes route by the same hash — no union, no
+    tail loss (a P-way union burns log2(P) tail bits; see
+    spark/forest.py). Exact-verified, so DuckDB oracles it."""
+    from libfilter_spark.spark.forest import (build_filter_forest,
+                                              forest_semi_join)
+    orders = load_table(spark, sf_dir, "orders") \
+        .where("o_totalprice > 150000")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    build = _keyed(orders, "o_orderkey")
+    probe = _keyed(lineitem, "l_orderkey")
+    forest = build_filter_forest(build, "key", "taffy_cuckoo",
+                                 ndv=1 << 14, fpp=0.01, n_shards=8)
+    hits = forest_semi_join(probe, build, forest, "key")
+    return (hits.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_price")))
+
+
 @_register("ann_ivf_recall")
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (trained centroids, the predictable-recall 100TB path:

@@ -80,44 +80,68 @@ df2 = (spark.range(0, n_taffy, numPartitions=2 * cpus)
 keys2 = with_content_key_bin(df2, "content").select("key")
 keys2.count()
 keys2.mapInPandas(_noop, schema="n long").count()
+absent = (spark.range(n_taffy, 2 * n_taffy, numPartitions=2 * cpus)
+          .withColumn("content", F.col("id").cast("string")))
+akeys = with_content_key_bin(absent, "content").select("key")
 fam = {}
-for family in ("taffy_block", "taffy_cuckoo"):
-    # sizing semantics differ per family: TBF union requires identical
-    # level schedules AND correct merged density, so every partial uses
-    # the full-population schedule (level 0 sized for n; OR-merge keeps
-    # FPP); TCF partials pre-size to their partition share (absorb
-    # grows the accumulator exactly)
-    ndv = n_taffy if family == "taffy_block" \
-        else max(1024, n_taffy // (2 * cpus))
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        fdf = build_filters(keys2, None, family=family, ndv=ndv,
-                            fpp=0.004)
-        frow = fdf.collect()[0]
-        best = min(best, time.perf_counter() - t0)
-    fdf2 = spark.createDataFrame(
-        [(frow["family"], frow["params"], frow["n_keys"],
-          frow["n_partials"], frow["filter"])],
-        "family string, params string, n_keys long, n_partials long, "
-        "filter binary")
-    pbest = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        found = probe_with_filters(keys2, fdf2, None) \
-            .where("maybe_seen").count()
-        pbest = min(pbest, time.perf_counter() - t0)
-        assert found == n_taffy, (family, found, n_taffy)
-    absent = (spark.range(n_taffy, 2 * n_taffy, numPartitions=2 * cpus)
-              .withColumn("content", F.col("id").cast("string")))
-    akeys = with_content_key_bin(absent, "content").select("key")
-    n_fp = probe_with_filters(akeys, fdf2, None) \
+
+# taffy block: mergeable partial+union build (every partial shares the
+# full-population level schedule — union requires identical schedules,
+# and OR-merge keeps the density right)
+best = float("inf")
+for _ in range(2):
+    t0 = time.perf_counter()
+    fdf = build_filters(keys2, None, family="taffy_block", ndv=n_taffy,
+                        fpp=0.004)
+    frow = fdf.collect()[0]
+    best = min(best, time.perf_counter() - t0)
+fdf2 = spark.createDataFrame(
+    [(frow["family"], frow["params"], frow["n_keys"],
+      frow["n_partials"], frow["filter"])],
+    "family string, params string, n_keys long, n_partials long, "
+    "filter binary")
+pbest = float("inf")
+for _ in range(2):
+    t0 = time.perf_counter()
+    found = probe_with_filters(keys2, fdf2, None) \
         .where("maybe_seen").count()
-    fam[family] = {"build_keys_per_s": round(n_taffy / best),
-                   "probe_keys_per_s": round(n_taffy / pbest),
-                   "n": n_taffy,
-                   "fpp": round(n_fp / n_taffy, 5),
-                   "filter_bytes": len(bytes(frow["filter"]))}
+    pbest = min(pbest, time.perf_counter() - t0)
+    assert found == n_taffy, ("taffy_block", found, n_taffy)
+n_fp = probe_with_filters(akeys, fdf2, None).where("maybe_seen").count()
+fam["taffy_block"] = {"build_keys_per_s": round(n_taffy / best),
+                      "probe_keys_per_s": round(n_taffy / pbest),
+                      "n": n_taffy, "fpp": round(n_fp / n_taffy, 5),
+                      "filter_bytes": len(bytes(frow["filter"]))}
+
+# taffy cuckoo: the merge-free FOREST path (one full-resolution filter
+# per key shard; a P-way union burns log2(P) tail bits, so at high
+# parallelism the forest is the correct scale structure — forest.py)
+from libfilter_spark.spark.forest import (build_filter_forest,
+                                          probe_with_forest)
+best = float("inf")
+for _ in range(2):
+    t0 = time.perf_counter()
+    forest = build_filter_forest(keys2, "key", "taffy_cuckoo",
+                                 ndv=n_taffy, fpp=0.004,
+                                 n_shards=2 * cpus)
+    rows = forest.collect()
+    best = min(best, time.perf_counter() - t0)
+forest_df = spark.createDataFrame(rows, forest.schema).cache()
+forest_df.count()
+pbest = float("inf")
+for _ in range(2):
+    t0 = time.perf_counter()
+    found = probe_with_forest(keys2, forest_df, "key") \
+        .where("maybe_seen").count()
+    pbest = min(pbest, time.perf_counter() - t0)
+    assert found == n_taffy, ("taffy_cuckoo", found, n_taffy)
+n_fp = probe_with_forest(akeys, forest_df, "key") \
+    .where("maybe_seen").count()
+fam["taffy_cuckoo"] = {
+    "build_keys_per_s": round(n_taffy / best),
+    "probe_keys_per_s": round(n_taffy / pbest),
+    "n": n_taffy, "fpp": round(n_fp / n_taffy, 5),
+    "filter_bytes": sum(len(bytes(r["filter"])) for r in rows)}
 
 print(json.dumps({"cpus": cpus, "n": n,
                   "build_s": round(build_s, 3),

@@ -167,12 +167,27 @@ def merge_filter_blobs(partials: DataFrame, group_cols: list[str],
         blobs = sorted(pdf["filter"], key=bytes)
         acc = cls.deserialize(blobs[0])
         if hasattr(acc, "absorb"):
-            # in-place vectorized union (TCF): grows the accumulator to
-            # fit before ingesting — the scalar union never upsizes
-            # (upstream TODO) and collapses to per-slot Python + stash
-            # overflow when partials are near-full
-            for b in blobs[1:]:
-                acc.absorb(cls.deserialize(b))
+            # in-place vectorized union (TCF) in BALANCED PAIRWISE
+            # rounds. Balance is load-bearing, not a nicety: a path
+            # stores only log_side_size+HEAD+tail bits, so absorbing
+            # into a table more than tail-width levels wider forces the
+            # missing-bits enumeration (2^(diff-tail) tail-less entries
+            # per item — occupancy and FPP inflate, which grows the
+            # accumulator further; a linear fold over 64 partials
+            # measured 15k keys/s with a 4x-oversized blob). Merging
+            # equals with equals keeps diff within the tail width at
+            # every round, so the enumeration never triggers.
+            fs = [acc] + [cls.deserialize(b) for b in blobs[1:]]
+            while len(fs) > 1:
+                fs.sort(key=lambda f: (f.log_side_size, f.occupied))
+                nxt = []
+                for i in range(0, len(fs) - 1, 2):
+                    fs[i + 1].absorb(fs[i])
+                    nxt.append(fs[i + 1])
+                if len(fs) % 2:
+                    nxt.append(fs[-1])
+                fs = nxt
+            acc = fs[0]
         else:
             for b in blobs[1:]:
                 acc = acc.union(cls.deserialize(b))

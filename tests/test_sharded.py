@@ -34,3 +34,38 @@ def test_sharded_probe_round_trip(spark):
     found = probe_with_filters(keys, filters, None) \
         .where("maybe_seen").count()
     assert found == n
+
+
+def test_tcf_forest_build_probe_semijoin(spark):
+    """Filter forest (merge-free TCF scale path): shard-routed build +
+    grouped probe, zero FN, structural FPP (no tail loss — contrast
+    with a many-way union, which burns log2(P) tail bits)."""
+    from pyspark.sql import functions as F
+
+    from libfilter_spark.spark.forest import (build_filter_forest,
+                                              forest_semi_join,
+                                              probe_with_forest)
+    from libfilter_spark.spark.keys import with_content_key_bin
+
+    n = 60_000
+    df = (spark.range(n).withColumn("c", F.col("id").cast("string")))
+    keys = with_content_key_bin(df, "c").select("key")
+    forest = build_filter_forest(keys, "key", "taffy_cuckoo",
+                                 ndv=n, fpp=0.01, n_shards=16).cache()
+    assert forest.count() == 16
+    # zero FN over members
+    probed = probe_with_forest(keys, forest, "key")
+    assert probed.where("maybe_seen").count() == n
+    # FPP structural on absent keys (tail intact: ~2^-10 * slots)
+    absent = (spark.range(n, 2 * n)
+              .withColumn("c", F.col("id").cast("string")))
+    akeys = with_content_key_bin(absent, "c").select("key")
+    n_fp = probe_with_forest(akeys, forest, "key") \
+        .where("maybe_seen").count()
+    assert n_fp / n < 0.01, n_fp / n
+    # semi-join end-to-end (exact verify)
+    build_half = keys.limit(0)  # exercise empty-build edge separately
+    hits = forest_semi_join(akeys, keys, forest, "key")
+    assert hits.count() == 0  # absent keys never survive exact verify
+    hits2 = forest_semi_join(keys, keys, forest, "key")
+    assert hits2.count() == n
