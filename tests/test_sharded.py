@@ -69,3 +69,27 @@ def test_tcf_forest_build_probe_semijoin(spark):
     assert hits.count() == 0  # absent keys never survive exact verify
     hits2 = forest_semi_join(keys, keys, forest, "key")
     assert hits2.count() == n
+
+
+def test_mtcf_forest_build_probe(spark):
+    """The forest is family-generic: minimal taffy cuckoo shards build
+    and probe through the same machinery."""
+    from pyspark.sql import functions as F
+
+    from libfilter_spark.spark.forest import (build_filter_forest,
+                                              probe_with_forest)
+    from libfilter_spark.spark.keys import with_content_key_bin
+
+    n = 20_000
+    df = spark.range(n).withColumn("c", F.col("id").cast("string"))
+    keys = with_content_key_bin(df, "c").select("key")
+    forest = build_filter_forest(keys, "key", "minimal_taffy_cuckoo",
+                                 ndv=n, fpp=0.01, n_shards=8).cache()
+    assert probe_with_forest(keys, forest, "key") \
+        .where("maybe_seen").count() == n
+    absent = spark.range(n, 2 * n).withColumn("c",
+                                              F.col("id").cast("string"))
+    akeys = with_content_key_bin(absent, "c").select("key")
+    n_fp = probe_with_forest(akeys, forest, "key") \
+        .where("maybe_seen").count()
+    assert n_fp / n < 0.03
