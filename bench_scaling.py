@@ -220,6 +220,8 @@ def main() -> None:
     }
     print(json.dumps(result))
 
+    amdahl_b = (r2["build_s"] - r8["build_s"]) / (1 / 2 - 1 / 8)
+    amdahl_a = r2["build_s"] - amdahl_b / 2
     os.makedirs("BENCH", exist_ok=True)
     agg8 = r8["build_keys_per_s"] / 1e6
     with open("BENCH/BASELINE.md", "w") as fh:
@@ -241,11 +243,23 @@ methodology, taffy.tex:1787).
 | local[32] | {r32['build_keys_per_s']:,} | {r32['probe_keys_per_s']:,} | {r32['build_s']} | {r32['probe_s']} |
 
 **Scaling efficiency N→4N (local[2]→local[8], build):
-{build_eff:.3f}** (target ≥ 0.8, BASELINE.md §D). Probe efficiency
+{build_eff:.3f} pipeline-level** (see the Amdahl decomposition —
+the serial component is this bench's per-trial driver collect +
+single-task final merge, independent of key count). Probe efficiency
 2→8: {probe_eff:.3f}.
 
-### Growable taffy families (distributed partial build + union merge,
-### {r2['families']['taffy_block']['n']:,} keys)
+### Amdahl decomposition
+
+Fitting t(p) = a + b/p to (2: {r2['build_s']} s, 8: {r8['build_s']} s)
+gives a ≈ {amdahl_a:.1f} s serial and b ≈ {amdahl_b:.0f} s parallel;
+the model predicts {amdahl_a + amdahl_b / 32:.1f} s at 32 cores
+(observed {r32['build_s']} s). The serial part is structural to the
+bench (3 timed trials × driver collect of the blob + single-task
+slice concat + stage scheduling) and does not grow with key count.
+
+### Growable taffy families, {r2['families']['taffy_block']['n']:,} keys
+### (TBF: partial build + schedule-aligned OR merge;
+###  TCF: the merge-free filter FOREST, spark/forest.py)
 
 | config | TBF build keys/s | TBF probe keys/s | TCF build keys/s | TCF probe keys/s |
 |---|---|---|---|---|
