@@ -793,11 +793,14 @@ class MinimalTaffyCuckooFilter:
             slf = rows & 1
             sfp = (rows >> 1) & 0x1FF
             st = rows >> 10
-            ok = (st != 0) & (slf == long_fp[idx][:, None]) \
-                & (sfp == fp[idx][:, None]) \
-                & is_prefix_of_batch(np.maximum(st, 1),
-                                     ptail[idx][:, None])
-            out[idx[ok.any(axis=1)]] = True
+            cand = (st != 0) & (slf == long_fp[idx][:, None]) \
+                & (sfp == fp[idx][:, None])
+            if cand.any():
+                # the tail prefix test (table gathers) only runs on the
+                # ~2^-9 of slots whose fingerprint matched
+                r, c = np.nonzero(cand)
+                okv = is_prefix_of_batch(st[r, c], ptail[idx][r])
+                out[idx[np.unique(r[okv])]] = True
         for (sl, sb, slf, sfp, st) in side.stash:
             if st == 0:
                 continue
