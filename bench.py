@@ -147,6 +147,23 @@ def main() -> None:
     time_family("minimal_taffy", build_mtcf)
     time_family("static_xor", lambda: StaticXorFilter.construct(fam_keys))
 
+    # surface the latest north-rule scaling matrix (bench_scaling.py
+    # writes BENCH/scaling.json) so the per-round BENCH record carries
+    # the two-parallelism-level evidence
+    import os as _os
+    scaling_path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                 "BENCH", "scaling.json")
+    if _os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            sc = json.load(fh)
+        extras["scaling_build_eff_2_to_8"] = sc.get("value")
+        extras["scaling_probe_eff_2_to_8"] = sc.get(
+            "probe_efficiency_2_to_8")
+        extras["scaling_tcf_forest_eff_2_to_8"] = sc.get(
+            "taffy_cuckoo_build_efficiency_2_to_8")
+        extras["scaling_build_keys_per_s_local8"] = sc.get(
+            "local[8]", {}).get("build_keys_per_s")
+
     total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_sec",

@@ -219,6 +219,9 @@ def main() -> None:
         **{f"local[{c}]": r for c, r in results.items()},
     }
     print(json.dumps(result))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as fh:
+        json.dump(result, fh, indent=1)
 
     amdahl_b = (r2["build_s"] - r8["build_s"]) / (1 / 2 - 1 / 8)
     amdahl_a = r2["build_s"] - amdahl_b / 2
