@@ -748,6 +748,25 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                              threshold=0.5)
 
 
+@_register("dedup_cluster_keep")
+def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline: MinHash-LSH pairs → connected
+    components (iterative min-label propagation, no driver state) →
+    keep-one-representative per cluster. Reports per-lang kept/dropped
+    counts — the canonical training-data dedup op. Deterministic
+    (fixed seeds) — golden-oracle checked."""
+    from libfilter_spark.functions.dedup import (keep_representatives,
+                                                 minhash_lsh_pairs)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=64, bands=16,
+                              threshold=0.5)
+    kept = keep_representatives(docs, pairs, "doc_id")
+    return (docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+            .join(kept.groupBy("lang")
+                  .agg(F.count(F.lit(1)).alias("n_kept")), on="lang")
+            .withColumn("n_dropped", F.col("n_docs") - F.col("n_kept")))
+
+
 @_register("dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from libfilter_spark.functions.dedup import simhash_near_pairs
@@ -983,7 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 GOLDENS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "goldens_sf001.json")
 GOLDEN_QUERIES = ["doc_fingerprints", "dedup_minhash_lsh", "dedup_simhash",
-                  "ann_lsh_recall", "ann_ivf_recall",
+                  "dedup_cluster_keep", "ann_lsh_recall", "ann_ivf_recall",
                   "source_code_pipeline", "multimodal_feature_audit"]
 
 

@@ -371,6 +371,60 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b", "hamming"))
 
 
+# --- near-dup clustering / keep-one ---------------------------------------
+
+def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                      id_b: str = "id_b",
+                      max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id)
+    with cluster_id = the minimum member id (deterministic labels).
+
+    Iterative min-label propagation over the edge list: each round
+    every node adopts the smallest label among itself and its
+    neighbors; converges in O(log diameter) rounds (near-dup clusters
+    are small and dense, so 2-3 rounds in practice; max_iters bounds
+    adversarial chains). All joins are on the id column — no
+    driver-side state, scales with the pairs volume, which is
+    output-sized (≈ the duplicate count, not the corpus)."""
+    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+             .unionAll(pairs.select(F.col(id_b).alias("u"),
+                                    F.col(id_a).alias("v")))
+             .distinct().cache())
+    labels = (edges.select(F.col("u").alias("id"))
+              .distinct()
+              .withColumn("cluster_id", F.col("id")))
+    for _ in range(max_iters):
+        neigh = (edges.join(labels, edges.v == labels.id)
+                 .select(F.col("u").alias("id"),
+                         F.col("cluster_id").alias("nl")))
+        new = (labels.select("id", F.col("cluster_id").alias("nl"))
+               .unionAll(neigh)
+               .groupBy("id").agg(F.min("nl").alias("cluster_id")))
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), on="id")
+                   .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .limit(1).count())
+        labels = new.cache()
+        labels.count()
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_representatives(docs: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """The canonical training-data dedup op: drop every near-dup
+    cluster member except the minimum-id representative. Docs that
+    appear in no pair are kept. Returns docs filtered, plus a
+    ``cluster_id`` column (null for singletons)."""
+    clusters = near_dup_clusters(pairs)
+    keep = (docs.join(clusters.withColumnRenamed("id", id_col),
+                      on=id_col, how="left")
+            .where(F.col("cluster_id").isNull()
+                   | (F.col("cluster_id") == F.col(id_col))))
+    return keep
+
+
 # --- winnowing fingerprint ----------------------------------------------
 
 def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> np.ndarray:

@@ -234,3 +234,24 @@ def test_ivf_centroids_deterministic(clustered_vectors):
     assert np.array_equal(a, b)
     assert a.shape == (8, 64)
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+def test_near_dup_clusters_and_keep(spark):
+    """Connected components over a pair list: chains collapse to one
+    cluster labeled by the min id; keep-one drops all but the
+    representative and keeps singletons."""
+    from libfilter_spark.functions.dedup import (keep_representatives,
+                                                 near_dup_clusters)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),            # chain -> cluster 1
+         (10, 11),                          # pair  -> cluster 10
+         (20, 21), (21, 22), (20, 22)],     # triangle -> cluster 20
+        "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+    docs = spark.createDataFrame([(i, f"d{i}") for i in
+                                  [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]],
+                                 "doc_id long, text string")
+    kept = keep_representatives(docs, pairs)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 10, 20, 99]
