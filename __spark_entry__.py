@@ -866,11 +866,14 @@ def q_fpp_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from libfilter_spark.filters import BloomFilter
 
     li = load_table(spark, sf_dir, "lineitem")
+    # cache both sides: three families re-scan them (sha derivation +
+    # dedup would otherwise recompute per family)
     build = _keyed(
         li.withColumn("__k", F.concat_ws("-", "l_orderkey", "l_linenumber")),
-        "__k").dropDuplicates(["key"])
+        "__k").dropDuplicates(["key"]).select("key").cache()
     n_build = build.count()
-    absent = _keyed(load_table(spark, sf_dir, "events"), "event_id")
+    absent = _keyed(load_table(spark, sf_dir, "events"), "event_id") \
+        .select("key").cache()
     n_absent = absent.count()
     out = []
     for family in ("block", "bloom", "taffy_block"):
