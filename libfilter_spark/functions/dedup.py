@@ -386,6 +386,8 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
     adversarial chains). All joins are on the id column — no
     driver-side state, scales with the pairs volume, which is
     output-sized (≈ the duplicate count, not the corpus)."""
+    pairs = pairs.cache()   # the edge union reads it twice; without
+    # this the whole upstream candidate pipeline recomputes per select
     edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
              .unionAll(pairs.select(F.col(id_b).alias("u"),
                                     F.col(id_a).alias("v")))
