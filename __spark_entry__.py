@@ -478,9 +478,9 @@ def _register_text_queries():
         "text_stats_by_lang",
         _text_oracle("""
         SELECT lang,
-               SUM({n_tokens}) AS total_tokens,
-               SUM({n_subwords}) AS total_subwords,
-               SUM({quality_e9}) AS sum_quality_e9
+               CAST(SUM({n_tokens}) AS BIGINT) AS total_tokens,
+               CAST(SUM({n_subwords}) AS BIGINT) AS total_subwords,
+               CAST(SUM({quality_e9}) AS BIGINT) AS sum_quality_e9
         FROM documents GROUP BY lang
         """))
     def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

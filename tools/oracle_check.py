@@ -23,12 +23,35 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def _norm(df: pd.DataFrame) -> pd.DataFrame:
+def _canon_cell(v) -> str:
+    """Dtype-canonical string for one cell, mirroring the driver's hash.
+
+    The driver hashes string-canonicalized values, so REPRESENTATION
+    matters: an int64 620898400000 and a float64 6.208984e+11 are
+    different even though numerically equal (this is exactly the
+    text_stats_by_lang r1/r2 failure mode).  Floats keep a float-shaped
+    repr; ints stay bare digits; no cross-type coercion anywhere.
+    """
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return "<null>"
+    if isinstance(v, (np.floating, float)):
+        return repr(float(v))
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (np.bool_, bool)):
+        return str(bool(v))
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def _canon_rows(df: pd.DataFrame) -> list:
     df = df[sorted(df.columns)]
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+    rows = [tuple(_canon_cell(v) for v in row)
+            for row in df.itertuples(index=False, name=None)]
+    return sorted(rows)
 
 
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame):
@@ -36,23 +59,17 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame):
     schema = sorted(spark_pdf.columns) == sorted(oracle_pdf.columns)
     if not (rows and schema):
         return rows, schema, False
-    a, b = _norm(spark_pdf), _norm(oracle_pdf)
-    ok = True
-    for c in a.columns:
-        av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if np.issubdtype(av.dtype, np.floating) or \
-                np.issubdtype(bv.dtype, np.floating):
-            ok &= bool(np.allclose(av.astype(float), bv.astype(float),
-                                   rtol=0, atol=0, equal_nan=True))
-        else:
-            ok &= bool((av == bv).all())
-        if not ok:
-            print(f"    column {c} diverges:")
-            mism = np.where(av != bv)[0][:5] if av.dtype == bv.dtype \
-                else range(min(5, len(av)))
-            for i in mism:
-                print(f"      row {i}: spark={av[i]!r} oracle={bv[i]!r}")
-            break
+    a, b = _canon_rows(spark_pdf), _canon_rows(oracle_pdf)
+    ok = a == b
+    if not ok:
+        cols = sorted(spark_pdf.columns)
+        shown = 0
+        for ra, rb in zip(a, b):
+            if ra != rb and shown < 5:
+                for c, va, vb in zip(cols, ra, rb):
+                    if va != vb:
+                        print(f"    col {c}: spark={va!r} oracle={vb!r}")
+                shown += 1
     return rows, schema, ok
 
 
