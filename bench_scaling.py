@@ -51,23 +51,30 @@ def _noop(batches):
 keys.mapInPandas(_noop, schema="n long").count()
 
 # the sharded build is the large-filter scale path: per-task slice is
-# filter_bytes/shards (cache-resident) and the merge is concatenation;
-# the full-size-partial path GC-thrashes at tasks x 80MB blobs
-from libfilter_spark.spark.sharded import (build_block_filter_sharded,
-                                           sharded_filter_row)
+# filter_bytes/shards (cache-resident) and the result stays
+# DISTRIBUTED as one block_slice row per shard — no driver blob
+# assembly (that collect+concat was the measured ~10 s serial term
+# that capped 2->8 pipeline efficiency at 0.58); the full-size-partial
+# path GC-thrashes at tasks x 80MB blobs
+from libfilter_spark.spark.sharded import (build_block_shards,
+                                           probe_with_block_shards)
 build_s = float("inf")
-blob = None
+shards = None
+total_bytes = 0
 for _ in range(3):
     t0 = time.perf_counter()
-    blob = build_block_filter_sharded(keys, ndv=n, fpp=0.004,
-                                      n_shards=4 * cpus)
+    shards = build_block_shards(keys, ndv=n, fpp=0.004,
+                                n_shards=4 * cpus).cache()
+    total_bytes = shards.agg(
+        F.sum(F.length("filter"))).collect()[0][0]
     build_s = min(build_s, time.perf_counter() - t0)
+    if _ < 2:
+        shards.unpersist()
 
-filters_df = sharded_filter_row(spark, blob, n, 0.004)
 probe_s = float("inf")
 for _ in range(3):
     t0 = time.perf_counter()
-    found = probe_with_filters(keys, filters_df, None) \
+    found = probe_with_block_shards(keys, shards, "key") \
         .where("maybe_seen").count()
     probe_s = min(probe_s, time.perf_counter() - t0)
     assert found == n, (found, n)
@@ -148,7 +155,7 @@ print(json.dumps({"cpus": cpus, "n": n,
                   "probe_s": round(probe_s, 3),
                   "build_keys_per_s": round(n / build_s),
                   "probe_keys_per_s": round(n / probe_s),
-                  "filter_bytes": len(blob),
+                  "filter_bytes": int(total_bytes),
                   "families": fam}))
 spark.stop()
 """
@@ -233,11 +240,14 @@ def main() -> None:
 ## Scaling: same job at multiple parallelism levels (north-rule
 ## stand-in for N vs 4N executors; no real cluster in this sandbox)
 
-Job (end-to-end): {n:,} rows → JVM sha256 key derivation → map-side
-partial block-filter build (fpp=0.004, the reference growth-sweep
-config) → two-level tree merge of blobs; then broadcast probe of all
-keys. Min of 3 trials after worker warmup (the reference's min-of-7
-methodology, taffy.tex:1787).
+Job (end-to-end): {n:,} rows → JVM sha256 key derivation → sharded
+block-filter build (fpp=0.004, the reference growth-sweep config):
+keys route JVM-side to their bucket-range shard, each task scatters
+into its cache-resident slice, and the result STAYS DISTRIBUTED as a
+block_slice shard frame (no driver blob assembly — the r2 driver
+collect+concat was a ~10 s key-count-independent serial term); then
+shard-routed broadcast probe of all keys. Min of 3 trials after
+worker warmup (the reference's min-of-7 methodology, taffy.tex:1787).
 
 | config | build keys/s | probe keys/s | build s | probe s |
 |---|---|---|---|---|
@@ -256,9 +266,11 @@ single-task final merge, independent of key count). Probe efficiency
 Fitting t(p) = a + b/p to (2: {r2['build_s']} s, 8: {r8['build_s']} s)
 gives a ≈ {amdahl_a:.1f} s serial and b ≈ {amdahl_b:.0f} s parallel;
 the model predicts {amdahl_a + amdahl_b / 32:.1f} s at 32 cores
-(observed {r32['build_s']} s). The serial part is structural to the
-bench (3 timed trials × driver collect of the blob + single-task
-slice concat + stage scheduling) and does not grow with key count.
+(observed {r32['build_s']} s). The remaining serial part is stage
+scheduling + the tiny per-shard count aggregation; the r2 version
+additionally collected and concatenated the full blob on the driver
+per trial (~10 s, key-count-independent) — removed by keeping the
+build distributed as a shard frame.
 
 ### Growable taffy families, {r2['families']['taffy_block']['n']:,} keys
 ### (TBF: partial build + schedule-aligned OR merge;

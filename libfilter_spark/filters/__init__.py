@@ -4,7 +4,7 @@
 ``serialize`` / ``deserialize`` / ``size_in_bytes``), each backed by
 numpy batch kernels."""
 
-from .block import BlockFilter
+from .block import BlockFilter, BlockSliceFilter
 from .bloom import BloomFilter
 from .minimal_taffy import MinimalTaffyCuckooFilter
 from .static_xor import StaticXorFilter
@@ -13,6 +13,7 @@ from .taffy_cuckoo import FrozenTaffyCuckooFilter, TaffyCuckooFilter
 
 FAMILIES = {
     "block": BlockFilter,
+    "block_slice": BlockSliceFilter,
     "bloom": BloomFilter,
     "taffy_block": TaffyBlockFilter,
     "taffy_cuckoo": TaffyCuckooFilter,
@@ -21,6 +22,7 @@ FAMILIES = {
     "minimal_taffy_cuckoo": MinimalTaffyCuckooFilter,
 }
 
-__all__ = ["BlockFilter", "BloomFilter", "TaffyBlockFilter", "TaffyCuckooFilter",
+__all__ = ["BlockFilter", "BlockSliceFilter", "BloomFilter",
+           "TaffyBlockFilter", "TaffyCuckooFilter",
            "FrozenTaffyCuckooFilter", "StaticXorFilter",
            "MinimalTaffyCuckooFilter", "FAMILIES"]

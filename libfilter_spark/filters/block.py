@@ -123,3 +123,68 @@ class BlockFilter:
 
     def __len__(self) -> int:
         return self.size_in_bytes()
+
+
+class BlockSliceFilter:
+    """A contiguous bucket range [lo, lo+len) of a GLOBAL block filter.
+
+    The scale path for huge filters: instead of assembling a multi-GB
+    blob on the driver, the sharded build leaves one slice row per
+    shard distributed (spark/sharded.py), and the probe routes each key
+    to its slice by the same bucket formula. Membership semantics are
+    identical to probing the assembled filter: the bucket index is
+    computed against the GLOBAL ``num_buckets`` (``block.h:97-101``)
+    and only then rebased into the slice, so the bit positions match
+    the reference layout bit-for-bit. Keys whose bucket falls outside
+    the slice (mis-routed) are reported absent rather than crashing.
+    """
+
+    __slots__ = ("num_buckets", "lo", "state")
+
+    FAMILY = "block_slice"
+    _HEADER = 16  # <u8 global num_buckets, <u8 lo bucket
+
+    def __init__(self, num_buckets: int, lo: int, state: np.ndarray):
+        self.num_buckets = int(num_buckets)
+        self.lo = int(lo)
+        self.state = state
+
+    def find_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        idx = K.bucket_index(hashes, self.num_buckets).astype(np.int64) \
+            - self.lo
+        n_local = self.state.size // K.WORDS_PER_BUCKET
+        ok = (idx >= 0) & (idx < n_local)
+        out = np.zeros(len(hashes), dtype=bool)
+        if not ok.any():
+            return out
+        masks = K.make_masks(hashes[ok])
+        m64 = np.ascontiguousarray(masks).view(np.uint64)
+        b64 = self.state.view(np.uint64).reshape(-1, 4)
+        g = b64[idx[ok]]
+        np.bitwise_and(g, m64, out=g)
+        out[ok] = (g == m64).all(axis=1)
+        return out
+
+    def find_hash(self, hash_: int) -> bool:
+        return bool(self.find_hashes(
+            np.array([hash_], dtype=np.uint64))[0])
+
+    def serialize(self) -> bytes:
+        head = np.array([self.num_buckets, self.lo],
+                        dtype="<u8").tobytes()
+        return head + self.state.astype("<u4", copy=False).tobytes()
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "BlockSliceFilter":
+        if len(blob) < cls._HEADER or \
+                (len(blob) - cls._HEADER) % 32 != 0:
+            raise ValueError(f"bad block_slice blob length {len(blob)}")
+        nb, lo = np.frombuffer(blob[:cls._HEADER], dtype="<u8")
+        state = np.frombuffer(blob[cls._HEADER:], dtype="<u4") \
+            .astype(np.uint32).copy()
+        return cls(int(nb), int(lo), state)
+
+    def size_in_bytes(self) -> int:
+        return self._HEADER + self.state.size * 4

@@ -43,6 +43,60 @@ def create_filter(family: str, ndv: int, fpp: float):
     return cls.create(ndv, fpp)
 
 
+def estimate_filter_bytes(family: str, ndv: int, fpp: float) -> int:
+    """Rough final-size estimate used ONLY for strategy routing —
+    order-of-magnitude fidelity is enough (the routing threshold is a
+    32 MB cliff, not a tight bound)."""
+    import math
+    from ..kernels.sizing import block_bytes_needed
+    if family in ("block", "taffy_block"):
+        # TBF's top level dominates; the stack is < 2x the top level
+        return block_bytes_needed(max(1, ndv), fpp)
+    if family == "bloom":
+        return int(-ndv * math.log(max(fpp, 1e-12)) /
+                   (math.log(2) ** 2) / 8) + 64
+    if family in ("taffy_cuckoo", "minimal_taffy_cuckoo",
+                  "frozen_taffy_cuckoo"):
+        # 2-byte slots at ~90% target load, two sides
+        return int(2 * ndv / 0.9) + 64
+    if family == "static_xor":
+        return int(2.0 * ndv) + 64  # static.c:13 size factor ceiling
+    return 0
+
+
+def select_build_strategy(family: str, grouped: bool, ndv: int,
+                          fpp: float, threshold: int | None = None) -> str:
+    """Pick the build path by estimated filter size — the difference
+    between 'works at sf0.1' and 'works at 100 TB':
+
+    - ``partials``: map-side combine, shuffle = tasks x filter_bytes of
+      blobs. Right while filters are small (KBs-MBs) — zero row
+      shuffle.
+    - ``sharded``: global block filters past the threshold; keys
+      shuffle once (8 B/row), each task owns a disjoint bucket range,
+      result stays distributed (spark/sharded.py). Full-size per-task
+      partials were measured to anti-scale here: tasks x 80 MB blobs
+      of merge traffic GC-thrash the JVM.
+    - ``grouped_bulk``: grouped builds past the threshold (and static
+      XOR always, which NEEDS all group keys in one task —
+      ``c/lib/static.c:12-82``): shuffle (group, key) rows, build each
+      group's filter exactly once. Trades an 8 B/row shuffle for
+      removing the tasks-x-bytes blob merge entirely; groups
+      parallelize across executors.
+    """
+    if family == "static_xor":
+        return "grouped_bulk"
+    if threshold is None:
+        import os
+        threshold = int(os.environ.get("LIBFILTER_SHARDED_MIN", 32 << 20))
+    if estimate_filter_bytes(family, ndv, fpp) >= threshold:
+        if grouped:
+            return "grouped_bulk"
+        if family == "block":
+            return "sharded"
+    return "partials"
+
+
 def _keys_from_series(s: pd.Series) -> np.ndarray:
     """LongType (int64) or 8-byte binary series → uint64 keys."""
     if s.dtype == object:  # binary
@@ -78,25 +132,15 @@ def build_filters(df: DataFrame, group_cols: list[str] | None,
     families (which grow past it freely).
     """
     group_cols = list(group_cols or [])
-    if family == "static_xor":
+    strategy = select_build_strategy(family, bool(group_cols), ndv, fpp)
+    if strategy == "grouped_bulk":
         return _build_grouped(df, group_cols, key_col, family, ndv, fpp)
-
-    # large GLOBAL block filters route to the sharded build: full-size
-    # per-task partials were measured to anti-scale past ~32 MB blobs
-    # (tasks x filter_bytes of merge traffic GC-thrashes the JVM);
-    # sharding shuffles 8 B/row once and merges by concatenation
-    from pyspark.sql.types import BinaryType
-    if family == "block" and not group_cols \
-            and isinstance(df.schema[key_col].dataType, BinaryType):
-        from ..kernels.sizing import block_bytes_needed
-        est_bytes = block_bytes_needed(ndv, fpp)
-        threshold = int(__import__("os").environ.get(
-            "LIBFILTER_SHARDED_MIN", 32 << 20))
-        if est_bytes >= threshold:
-            from .sharded import build_block_filter_sharded, \
-                sharded_filter_row
-            blob = build_block_filter_sharded(df, key_col, ndv, fpp)
-            return sharded_filter_row(df.sparkSession, blob, ndv, fpp)
+    if strategy == "sharded":
+        # large global block filter: stays DISTRIBUTED as a shard frame
+        # (one block_slice row per bucket range); probe_with_filters
+        # auto-routes shard frames, assemble_block_shards exports a blob
+        from .sharded import build_block_shards
+        return build_block_shards(df, key_col, ndv, fpp)
 
     params = json.dumps({"ndv": int(ndv), "fpp": float(fpp)})
     proj = df.select(*group_cols, key_col)
@@ -223,9 +267,13 @@ def merge_filter_blobs(partials: DataFrame, group_cols: list[str],
 
 def _build_grouped(df: DataFrame, group_cols: list[str], key_col: str,
                    family: str, ndv: int, fpp: float) -> DataFrame:
-    """Shuffle-then-bulk-build path for non-mergeable families
-    (static XOR: needs every group key in one task —
-    ``c/lib/static.c:12-82``). Memory bound: 8 bytes × group rows."""
+    """Shuffle-then-bulk-build path: every group's keys land in one
+    task and the filter is built exactly once — no per-task partials,
+    no blob merge. Required for static XOR (one-shot construct needs
+    all keys, ``c/lib/static.c:12-82``); chosen by the strategy router
+    for LARGE grouped builds of any family, where per-task full-size
+    partials would shuffle tasks x filter_bytes of blobs. Memory
+    bound: 8 bytes x group rows + one group's filter per task."""
     from ..filters.static_xor import StaticXorFilter
 
     params = json.dumps({"ndv": int(ndv), "fpp": float(fpp)})
@@ -233,8 +281,13 @@ def _build_grouped(df: DataFrame, group_cols: list[str], key_col: str,
     schema = _result_schema(proj, group_cols)
 
     def bulk(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys = np.unique(_keys_from_series(pdf[key_col]))
-        f = StaticXorFilter.construct(keys)
+        if family == "static_xor":
+            keys = np.unique(_keys_from_series(pdf[key_col]))
+            f = StaticXorFilter.construct(keys)
+        else:
+            keys = _keys_from_series(pdf[key_col])
+            f = create_filter(family, ndv, fpp)
+            f.add_hashes(keys)
         out = {c: [pdf[c].iloc[0]] for c in group_cols}
         out["family"] = [family]
         out["params"] = [params]

@@ -59,7 +59,8 @@ def build_filter_forest(df: DataFrame, key_col: str = "key",
                                       "32"))
     n_shards = max(1, n_shards)
     params = json.dumps({"ndv": int(ndv), "fpp": float(fpp),
-                         "n_shards": int(n_shards)})
+                         "n_shards": int(n_shards),
+                         "routing": "xxhash64"})
     cls = FAMILIES[family]
     per_shard = max(64, ndv // n_shards)
     proj = with_shard(df.select(key_col), key_col, n_shards)

@@ -107,8 +107,24 @@ def probe_with_filters(df: DataFrame, filters_df: DataFrame,
     Implemented as a vectorized Arrow scalar UDF so only the key (and
     group) columns cross the Python boundary — every other column of a
     wide probe table stays JVM-side (at 100 TB the probe input is the
-    big table; shipping whole rows through Arrow would dominate)."""
+    big table; shipping whole rows through Arrow would dominate).
+
+    A GLOBAL probe (group_cols empty) against a distributed shard
+    frame (block shards / filter forest — one row per shard with a
+    ``__shard`` column) auto-routes each key to its shard with the
+    build's JVM-side formula, so callers don't care whether the build
+    chose the single-blob or the sharded scale path."""
     group_cols = list(group_cols or [])
+    if not group_cols and "__shard" in filters_df.columns:
+        import json as _json
+        row = filters_df.select("params").first()
+        routing = _json.loads(row["params"]).get("routing") if row else None
+        if routing == "bucket_range":
+            from .sharded import probe_with_block_shards
+            return probe_with_block_shards(df, filters_df, key_col,
+                                           result_col)
+        from .forest import probe_with_forest
+        return probe_with_forest(df, filters_df, key_col, result_col)
     spark = df.sparkSession
     import uuid
 

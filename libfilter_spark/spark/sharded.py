@@ -6,16 +6,23 @@ This module instead ROUTES each key to the task that owns its bucket
 range (one row shuffle of 8-byte keys), so:
 
 - per-task state is filter_bytes / n_shards (cache-resident scatter),
-- the merge is a byte concatenation of disjoint slices,
-- total shuffle = 8 B x rows + filter_bytes, independent of task count.
+- no blob merge at all: the shard slices are DISJOINT bucket ranges,
+- total shuffle = 8 B x rows, independent of task count.
 
 Routing must replicate the kernel's bucket index exactly
 (``block.h:97-101``: bucket = ((h >> 32) * nb) >> 32, on the upper 32
-bits of the key). The shard id is computed JVM-side from the first 4
-bytes of the binary sha key, so no Python runs before the shuffle.
+bits of the key). The shard id is computed JVM-side — from the first
+4 bytes of a binary sha key, or the upper 32 bits of an int64 key —
+so no Python runs before the shuffle.
 
-The result is byte-identical to the unsharded build (asserted in
-tests): OR-scatter order doesn't matter and slices are disjoint.
+Scale shape (the 100 TB design): the build result stays DISTRIBUTED
+as one (shard, slice) row per shard — a "block forest" over disjoint
+bucket ranges, mirroring spark/forest.py for the cuckoo families. The
+driver never materializes the full bit array; probes route each key
+to its slice with the same JVM bucket formula and run through the
+grouped broadcast probe. ``assemble_block_shards`` exists for users
+who need one exportable blob (byte-identical to the unsharded build,
+asserted in tests) — it is an EXPORT, not a build step.
 """
 
 from __future__ import annotations
@@ -27,10 +34,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
 
+from ..filters.block import BlockSliceFilter
 from ..kernels import block as K
 from ..kernels.sizing import BUCKET_BYTES, block_bytes_needed
 from .build import _keys_from_series
+
+SHARD_COL = "__shard"
 
 
 def _shard_bounds(num_buckets: int, n_shards: int) -> list[tuple[int, int]]:
@@ -44,79 +55,144 @@ def _shard_bounds(num_buckets: int, n_shards: int) -> list[tuple[int, int]]:
             for s in range(n_shards)]
 
 
-def build_block_filter_sharded(df: DataFrame, key_col: str = "key",
-                               ndv: int = 1 << 20, fpp: float = 0.01,
-                               n_shards: int | None = None) -> bytes:
-    """Build ONE global block filter of arbitrary size, sharded.
+def _upper32(df: DataFrame, key_col: str):
+    """JVM-side expression for the upper 32 bits of the uint64 key —
+    works for 8-byte binary sha keys AND int64 (two's-complement
+    uint64) keys, matching ``_keys_from_series`` bit-for-bit."""
+    if isinstance(df.schema[key_col].dataType, BinaryType):
+        # binary keys are big-endian uint64 (kernels/keys.py): the
+        # upper 32 bits are the first 4 bytes
+        return F.conv(F.hex(F.substring(F.col(key_col), 1, 4)), 16, 10) \
+            .cast("long")
+    return F.shiftrightunsigned(F.col(key_col).cast("long"), 32)
 
-    ``df[key_col]`` must be the 8-byte binary sha key
-    (``with_content_key_bin``). Returns the serialized filter blob,
-    byte-identical to a single-process build over the same keys.
-    """
+
+def with_block_shard(df: DataFrame, key_col: str, num_buckets: int,
+                     n_shards: int) -> DataFrame:
+    """Attach the shard routing column, computed JVM-side:
+    bucket = (h32 * num_buckets) >> 32 (``block.h:97-101``), then
+    shard = floor(bucket * n_shards / num_buckets)."""
+    h32 = _upper32(df, key_col)
+    bucket = F.shiftright(h32 * F.lit(int(num_buckets)), 32)
+    shard = F.least(F.lit(n_shards - 1),
+                    F.floor(bucket * F.lit(n_shards) /
+                            F.lit(int(num_buckets)))).cast("int")
+    return df.withColumn(SHARD_COL, shard)
+
+
+def build_block_shards(df: DataFrame, key_col: str = "key",
+                       ndv: int = 1 << 20, fpp: float = 0.01,
+                       n_shards: int | None = None) -> DataFrame:
+    """Distributed build of ONE global block filter as a shard frame:
+    one row per non-empty shard with a ``block_slice`` filter covering
+    that shard's bucket range. The result never touches the driver;
+    probe with ``probe_with_block_shards`` (or ``probe_with_filters``,
+    which auto-routes shard frames), or export one blob with
+    ``assemble_block_shards``."""
     spark = df.sparkSession
     num_buckets = max(1, block_bytes_needed(ndv, fpp) // BUCKET_BYTES)
     if n_shards is None:
         n_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     n_shards = max(1, min(n_shards, num_buckets))
     bounds = _shard_bounds(num_buckets, n_shards)
+    params = json.dumps({"ndv": int(ndv), "fpp": float(fpp),
+                         "num_buckets": int(num_buckets),
+                         "n_shards": int(n_shards),
+                         "routing": "bucket_range"})
 
-    # JVM-side routing: h32 = first 4 key bytes as u32;
-    # bucket = (h32 * nb) >> 32; shard = which range owns the bucket.
-    h32 = F.conv(F.hex(F.substring(F.col(key_col), 1, 4)), 16, 10) \
-        .cast("long")
-    bucket = F.shiftright(h32 * F.lit(int(num_buckets)), 32)
-    # ranges are near-uniform; map bucket -> shard by scaled division
-    shard = F.least(F.lit(n_shards - 1),
-                    F.floor(bucket * F.lit(n_shards) /
-                            F.lit(int(num_buckets)))).cast("int")
-    routed = df.select(F.col(key_col), shard.alias("__shard")) \
-        .repartition(n_shards, "__shard")
+    routed = with_block_shard(df.select(key_col), key_col, num_buckets,
+                              n_shards).repartition(n_shards, SHARD_COL)
 
     def build_slice(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         slices: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            for s, sub in pdf.groupby("__shard", sort=False):
-                lo, hi = bounds[int(s)]
-                sl = slices.get(int(s))
+            for s, sub in pdf.groupby(SHARD_COL, sort=False):
+                s = int(s)
+                lo, hi = bounds[s]
+                sl = slices.get(s)
                 if sl is None:
-                    sl = slices[int(s)] = np.zeros(
+                    sl = slices[s] = np.zeros(
                         (hi - lo) * K.WORDS_PER_BUCKET, dtype=np.uint32)
+                    counts[s] = 0
                 keys = _keys_from_series(sub[key_col])
                 idx = K.bucket_index(keys, num_buckets).astype(np.int64) - lo
                 masks = K.make_masks(keys)
-                b2 = sl.reshape(-1, K.WORDS_PER_BUCKET)
-                for lane in range(K.WORDS_PER_BUCKET):
-                    np.bitwise_or.at(b2[:, lane], idx, masks[:, lane])
+                m64 = np.ascontiguousarray(masks).view(np.uint64)
+                b64 = sl.view(np.uint64).reshape(-1, 4)
+                for lane in range(4):
+                    np.bitwise_or.at(b64[:, lane], idx, m64[:, lane])
+                counts[s] += len(keys)
         if slices:
             yield pd.DataFrame({
-                "shard": list(slices),
-                "slice": [v.astype("<u4").tobytes()
-                          for v in slices.values()]})
+                SHARD_COL: list(slices),
+                "family": ["block_slice"] * len(slices),
+                "params": [params] * len(slices),
+                "n_keys": [counts[s] for s in slices],
+                "n_partials": [1] * len(slices),
+                "filter": [
+                    BlockSliceFilter(num_buckets, bounds[s][0],
+                                     sl).serialize()
+                    for s, sl in slices.items()]})
 
-    parts = routed.mapInPandas(build_slice,
-                               schema="shard int, slice binary").collect()
-    # assemble: disjoint ordered slices; shards with no keys are zeros
+    # repartition(n, SHARD_COL) hash-partitions on the shard id, so a
+    # shard never splits across tasks — exactly one row per shard
+    return routed.mapInPandas(
+        build_slice,
+        schema=f"{SHARD_COL} int, family string, params string, "
+               "n_keys long, n_partials long, filter binary")
+
+
+def probe_with_block_shards(df: DataFrame, shards_df: DataFrame,
+                            key_col: str = "key",
+                            result_col: str = "maybe_seen") -> DataFrame:
+    """Membership probe against a shard frame: derive the shard column
+    JVM-side with the build's routing formula, then the grouped
+    broadcast probe (only key + shard cross the Arrow boundary)."""
+    from .probe import probe_with_filters
+    row = shards_df.select("params").first()
+    if row is None:  # empty build side: nothing can match
+        return df.withColumn(result_col, F.lit(False))
+    p = json.loads(row["params"])
+    probe = with_block_shard(df, key_col, int(p["num_buckets"]),
+                             int(p["n_shards"]))
+    return probe_with_filters(probe, shards_df, [SHARD_COL], key_col,
+                              result_col).drop(SHARD_COL)
+
+
+def assemble_block_shards(shards_df: DataFrame) -> bytes:
+    """EXPORT a shard frame as one serialized global filter blob,
+    byte-identical to a single-process build over the same keys.
+    Driver memory = full filter size — use only when a single
+    exportable blob is genuinely needed (cross-system handoff)."""
+    rows = shards_df.select(SHARD_COL, "params", "filter").collect()
+    if not rows:
+        raise ValueError("cannot assemble an empty shard frame")
+    p = json.loads(rows[0]["params"])
+    num_buckets = int(p["num_buckets"])
     out = bytearray(num_buckets * BUCKET_BYTES)
-    seen: dict[int, bytes] = {}
-    for r in parts:
-        s = int(r["shard"])
-        blob = bytes(r["slice"])
-        if s in seen:  # same shard split across tasks: OR the copies
-            prev = np.frombuffer(seen[s], dtype="<u4")
-            cur = np.frombuffer(blob, dtype="<u4")
-            blob = np.bitwise_or(prev, cur).astype("<u4").tobytes()
-        seen[s] = blob
-    for s, blob in seen.items():
-        lo, _ = bounds[s]
-        off = lo * BUCKET_BYTES
+    for r in rows:
+        sl = BlockSliceFilter.deserialize(bytes(r["filter"]))
+        off = sl.lo * BUCKET_BYTES
+        blob = sl.state.astype("<u4", copy=False).tobytes()
         out[off:off + len(blob)] = blob
     return bytes(out)
 
 
+def build_block_filter_sharded(df: DataFrame, key_col: str = "key",
+                               ndv: int = 1 << 20, fpp: float = 0.01,
+                               n_shards: int | None = None) -> bytes:
+    """Back-compat convenience: distributed sharded build + driver
+    assembly into one exportable blob. Prefer ``build_block_shards``
+    (keeps the filter distributed) unless the blob itself is needed."""
+    return assemble_block_shards(
+        build_block_shards(df, key_col, ndv, fpp, n_shards))
+
+
 def sharded_filter_row(spark, blob: bytes, ndv: int, fpp: float):
-    """Wrap a sharded-build blob as a one-row filters DataFrame
+    """Wrap an assembled blob as a one-row filters DataFrame
     compatible with probe_with_filters."""
     params = json.dumps({"ndv": int(ndv), "fpp": float(fpp)})
     return spark.createDataFrame(

@@ -36,6 +36,125 @@ def test_sharded_probe_round_trip(spark):
     assert found == n
 
 
+def test_block_shard_frame_distributed(spark):
+    """The scale path: build stays distributed (one block_slice row
+    per shard, never assembled on the driver); probing the shard frame
+    is exactly equivalent to probing the assembled blob."""
+    from libfilter_spark.spark.sharded import (assemble_block_shards,
+                                               build_block_shards,
+                                               probe_with_block_shards)
+    n = 30_000
+    df = spark.range(n).withColumn("content", F.col("id").cast("string"))
+    keys = with_content_key_bin(df, "content").select("key")
+    shards = build_block_shards(keys, ndv=n, fpp=0.01, n_shards=8).cache()
+    assert shards.count() == 8
+    assert shards.select("family").distinct().collect()[0][0] == \
+        "block_slice"
+    # zero FN through the shard-frame probe
+    assert probe_with_block_shards(keys, shards, "key") \
+        .where("maybe_seen").count() == n
+    # probe_with_filters auto-routes shard frames (global probe)
+    assert probe_with_filters(keys, shards, None) \
+        .where("maybe_seen").count() == n
+    # absent keys: same verdict, key by key, as the assembled filter
+    absent = spark.range(n, 2 * n) \
+        .withColumn("content", F.col("id").cast("string"))
+    akeys = with_content_key_bin(absent, "content").select("key")
+    via_shards = probe_with_block_shards(akeys, shards, "key") \
+        .where("maybe_seen").count()
+    full = BlockFilter.deserialize(assemble_block_shards(shards))
+    expect_fp = int(full.find_hashes(
+        sha256_keys([str(i) for i in range(n, 2 * n)])).sum())
+    assert via_shards == expect_fp
+    # assembly is byte-identical to the local build
+    local = BlockFilter.create_with_ndv_fpp(n, 0.01)
+    local.add_hashes(sha256_keys([str(i) for i in range(n)]))
+    assert assemble_block_shards(shards) == local.serialize()
+
+
+def test_block_shards_long_keys(spark):
+    """Shard routing also works for int64 (two's-complement uint64)
+    key columns — the upper-32-bit extraction must agree with the
+    numpy kernel for negative longs too."""
+    import pandas as pd
+
+    from libfilter_spark.kernels.keys import to_unsigned
+    from libfilter_spark.spark.sharded import build_block_shards
+    rng = np.random.default_rng(7)
+    vals = rng.integers(-(2 ** 63), 2 ** 63, size=20_000, dtype=np.int64)
+    keys = spark.createDataFrame(pd.DataFrame({"key": vals}))
+    shards = build_block_shards(keys, ndv=20_000, fpp=0.01,
+                                n_shards=8).cache()
+    assert probe_with_filters(keys, shards, None) \
+        .where("maybe_seen").count() == len(np.unique(vals))
+    # byte-identity vs local kernel build over the same uint64 keys
+    from libfilter_spark.spark.sharded import assemble_block_shards
+    local = BlockFilter.create_with_ndv_fpp(20_000, 0.01)
+    local.add_hashes(to_unsigned(vals))
+    assert assemble_block_shards(shards) == local.serialize()
+
+
+def test_build_strategy_routing():
+    """The size-based strategy router (spark/build.py): partials while
+    blobs are small, sharded for huge global block filters, grouped
+    bulk for huge grouped builds of any family and for static XOR
+    always."""
+    from libfilter_spark.spark.build import (estimate_filter_bytes,
+                                             select_build_strategy)
+    mb = 1 << 20
+    # small builds: map-side combine everywhere
+    assert select_build_strategy("block", False, 100_000, 0.01) == \
+        "partials"
+    assert select_build_strategy("taffy_cuckoo", True, 100_000, 0.01) == \
+        "partials"
+    # huge global block -> sharded (regardless of key dtype)
+    assert select_build_strategy("block", False, 200_000_000, 0.004,
+                                 threshold=32 * mb) == "sharded"
+    # huge grouped builds -> grouped bulk, for every family
+    for fam in ("block", "taffy_block", "taffy_cuckoo",
+                "minimal_taffy_cuckoo", "bloom"):
+        assert select_build_strategy(fam, True, 200_000_000, 0.004,
+                                     threshold=32 * mb) == "grouped_bulk", fam
+    # huge global non-block stays partials (absorb/tree merge path;
+    # the forest is the explicit scale API for cuckoo families)
+    assert select_build_strategy("taffy_cuckoo", False, 200_000_000,
+                                 0.004, threshold=32 * mb) == "partials"
+    # static XOR always needs all group keys in one task
+    assert select_build_strategy("static_xor", False, 10, 0.01) == \
+        "grouped_bulk"
+    # estimates are order-of-magnitude sane
+    assert 100 * mb < estimate_filter_bytes("block", 200_000_000, 0.004) \
+        < 1000 * mb
+    assert estimate_filter_bytes("taffy_cuckoo", 200_000_000, 0.004) > \
+        2 * 200_000_000
+
+
+def test_grouped_bulk_large_build(spark):
+    """A grouped build past the routing threshold takes the bulk path
+    (one full-size filter per group, zero blob merge) and still
+    produces zero-FN filters probeable through the standard path."""
+    import os
+
+    from libfilter_spark.spark.build import build_filters
+    n = 40_000
+    df = (spark.range(n)
+          .withColumn("g", (F.col("id") % 4).cast("string"))
+          .withColumn("content", F.col("id").cast("string")))
+    keys = with_content_key_bin(df, "content").select("g", "key")
+    os.environ["LIBFILTER_SHARDED_MIN"] = "1"  # force the bulk route
+    try:
+        filters = build_filters(keys, ["g"], family="block",
+                                ndv=n // 4, fpp=0.01).cache()
+        rows = filters.collect()
+        assert len(rows) == 4
+        assert all(r["n_partials"] == 1 for r in rows)  # bulk: no merge
+        found = probe_with_filters(keys, filters, ["g"]) \
+            .where("maybe_seen").count()
+        assert found == n
+    finally:
+        del os.environ["LIBFILTER_SHARDED_MIN"]
+
+
 def test_tcf_forest_build_probe_semijoin(spark):
     """Filter forest (merge-free TCF scale path): shard-routed build +
     grouped probe, zero FN, structural FPP (no tail loss — contrast
@@ -64,11 +183,13 @@ def test_tcf_forest_build_probe_semijoin(spark):
         .where("maybe_seen").count()
     assert n_fp / n < 0.01, n_fp / n
     # semi-join end-to-end (exact verify)
-    build_half = keys.limit(0)  # exercise empty-build edge separately
     hits = forest_semi_join(akeys, keys, forest, "key")
     assert hits.count() == 0  # absent keys never survive exact verify
     hits2 = forest_semi_join(keys, keys, forest, "key")
     assert hits2.count() == n
+    # empty build side: filter may say maybe, exact verify says no
+    empty_build = keys.limit(0)
+    assert forest_semi_join(akeys, empty_build, forest, "key").count() == 0
 
 
 def test_mtcf_forest_build_probe(spark):
