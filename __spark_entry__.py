@@ -526,6 +526,34 @@ def _register_text_queries():
 _register_text_queries()
 
 
+@_register(
+    "catalog_pruned_doc_stats",
+    _text_oracle("""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM({n_tokens}) AS BIGINT) AS total_tokens
+    FROM documents WHERE lang = 'en' GROUP BY source
+    """))
+def q_catalog_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-table scan with partition pruning: documents registered
+    as a session-catalog external table partitioned by lang (the
+    Iceberg-shaped layout; sources/catalog.py — swap one conf for a
+    real Iceberg catalog on a cluster, no Iceberg jar ships in this
+    sandbox). The WHERE lang='en' predicate prunes to ONE partition
+    directory (PartitionFilters in the plan, asserted in
+    tests/test_sources.py) instead of scanning every row group."""
+    from libfilter_spark.functions import text as T
+    from libfilter_spark.sources.catalog import scan_documents_lang
+    docs = scan_documents_lang(spark, sf_dir, "en",
+                               ["source", "n_chars", "text"])
+    return (docs.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum(T.token_count(F.col("text")))
+                 .alias("total_tokens")))
+
+
 # ---------------------------------------------------------------------------
 # Companion sketches (north-rule additions): the estimate itself is not
 # SQL-expressible, but the error-envelope CONTRACT is — the query emits
@@ -853,20 +881,28 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT 'block' AS family, TRUE AS within_model UNION ALL
     SELECT 'bloom' AS family, TRUE AS within_model UNION ALL
-    SELECT 'taffy_block' AS family, TRUE AS within_model
+    SELECT 'taffy_block' AS family, TRUE AS within_model UNION ALL
+    SELECT 'taffy_cuckoo' AS family, TRUE AS within_model UNION ALL
+    SELECT 'minimal_taffy_cuckoo' AS family, TRUE AS within_model
     """)
 def q_fpp_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured FPP vs model curve (BASELINE.md §C): build per-family
     filters over lineitem orderkey-line keys, probe disjoint synthetic
-    keys, assert measured <= model + 5 sigma. The distributed build and
-    probe run through the full pipeline."""
+    keys, assert measured <= model + 5 sigma. Block families check the
+    util.c:5-34 Putze model at the actual bits/key; the cuckoo
+    families (built through the merge-free FOREST scale path) check
+    the paper's growable-filter bound 2^(-F+O(1))
+    (doc/taffy/taffy.tex:837-844: F=10 for TCF, 9 for MTCF) with the
+    O(1) taken as the slots-probed count — 8 slot comparisons for TCF
+    (2 sides x 4 slots), 16 for MTCF (2 sides x {lo,hi} x 4 slots).
+    The distributed build and probe run through the full pipeline."""
     import pandas as pd
 
     from libfilter_spark.kernels.sizing import block_fpp
     from libfilter_spark.filters import BloomFilter
 
     li = load_table(spark, sf_dir, "lineitem")
-    # cache both sides: three families re-scan them (sha derivation +
+    # cache both sides: five families re-scan them (sha derivation +
     # dedup would otherwise recompute per family)
     build = _keyed(
         li.withColumn("__k", F.concat_ws("-", "l_orderkey", "l_linenumber")),
@@ -894,6 +930,23 @@ def q_fpp_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
                               else fbytes)
         sigma = (model * (1 - model) / max(n_absent, 1)) ** 0.5
         out.append((family, bool(measured <= model + 5 * sigma + 1e-6)))
+    # cuckoo families: forest build (full-resolution shards, zero tail
+    # loss) vs the 2^(-F+O(1)) growable-filter bound
+    from libfilter_spark.spark.forest import (build_filter_forest,
+                                              probe_with_forest)
+    for family, fbits, slots in (("taffy_cuckoo", 10, 8),
+                                 ("minimal_taffy_cuckoo", 9, 16)):
+        forest = build_filter_forest(build, "key", family,
+                                     ndv=max(n_build, 1024), fpp=0.01,
+                                     n_shards=8).cache()
+        forest.count()
+        hits = probe_with_forest(absent, forest, "key") \
+            .where("maybe_seen").count()
+        measured = hits / max(n_absent, 1)
+        model = slots * 2.0 ** (-fbits)
+        sigma = (model * (1 - model) / max(n_absent, 1)) ** 0.5
+        out.append((family, bool(measured <= model + 5 * sigma + 1e-6)))
+        forest.unpersist()
     return spark.createDataFrame(pd.DataFrame(
         out, columns=["family", "within_model"]))
 

@@ -107,15 +107,21 @@ def main() -> None:
     fam_keys = splitmix64(1_000_000, seed=99)
     absent = splitmix64(2_000_000, seed=99)[1_000_000:]
 
-    def time_family(name, build_fn, probe_target=None):
-        t0 = time.perf_counter()
-        f = build_fn()
-        b = time.perf_counter() - t0
-        target = probe_target(f) if probe_target else f
-        t0 = time.perf_counter()
-        assert target.find_hashes(fam_keys).all()
-        target.find_hashes(absent)
-        p = time.perf_counter() - t0
+    def time_family(name, build_fn, probe_target=None, trials=3):
+        # min-of-N in-process: this sandbox's CPU throttle swings
+        # single-shot timings up to ~7x (a single-trial MTCF record
+        # once read 5931 ns/key against a reproducible 1.3-2.1 µs) —
+        # the minimum over back-to-back trials is the stable signal
+        b = p = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            f = build_fn()
+            b = min(b, time.perf_counter() - t0)
+            target = probe_target(f) if probe_target else f
+            t0 = time.perf_counter()
+            assert target.find_hashes(fam_keys).all()
+            target.find_hashes(absent)
+            p = min(p, time.perf_counter() - t0)
         extras[f"{name}_build_ns_per_key"] = round(b * 1000)  # 1M keys
         extras[f"{name}_probe_ns_per_key"] = round(p * 500)   # 2M probes
 
@@ -145,7 +151,8 @@ def main() -> None:
     time_family("frozen_tcf", build_tcf, probe_target=lambda f: f.freeze())
     time_family("taffy_block", build_tbf)
     time_family("minimal_taffy", build_mtcf)
-    time_family("static_xor", lambda: StaticXorFilter.construct(fam_keys))
+    time_family("static_xor", lambda: StaticXorFilter.construct(fam_keys),
+                trials=2)  # the slowest build; 2 trials bound the round
 
     # surface the latest north-rule scaling matrix (bench_scaling.py
     # writes BENCH/scaling.json) so the per-round BENCH record carries

@@ -256,21 +256,26 @@ worker warmup (the reference's min-of-7 methodology, taffy.tex:1787).
 | local[32] | {r32['build_keys_per_s']:,} | {r32['probe_keys_per_s']:,} | {r32['build_s']} | {r32['probe_s']} |
 
 **Scaling efficiency N→4N (local[2]→local[8], build):
-{build_eff:.3f} pipeline-level** (see the Amdahl decomposition —
-the serial component is this bench's per-trial driver collect +
-single-task final merge, independent of key count). Probe efficiency
-2→8: {probe_eff:.3f}.
+{build_eff:.3f} pipeline-level; probe {probe_eff:.3f}.**
 
-### Amdahl decomposition
+### Where the remaining build gap lives (measured decomposition)
 
-Fitting t(p) = a + b/p to (2: {r2['build_s']} s, 8: {r8['build_s']} s)
-gives a ≈ {amdahl_a:.1f} s serial and b ≈ {amdahl_b:.0f} s parallel;
-the model predicts {amdahl_a + amdahl_b / 32:.1f} s at 32 cores
-(observed {r32['build_s']} s). The remaining serial part is stage
-scheduling + the tiny per-shard count aggregation; the r2 version
-additionally collected and concatenated the full blob on the driver
-per trial (~10 s, key-count-independent) — removed by keeping the
-build distributed as a shard frame.
+Phase-split of the same job (in-process min-of-2 per phase): the JVM
+side — sha256 derivation + shard routing + row shuffle — scales at
+~0.87 from 2→8; the Python side (Arrow IPC stream + slice scatter) is
+the saturating part. The build makes TWO full passes over the key
+stream (shuffle write+read, then Arrow IPC into Python) where the
+probe makes one (no shuffle — probe maps directly over the scan),
+which is why probe reaches {probe_eff:.3f} while build sits lower on
+the same box: concurrent memory streams hit this machine's bandwidth
+wall near 8 (see below). A naive t(p) = a + b/p fit to (2:
+{r2['build_s']} s, 8: {r8['build_s']} s) gives a ≈ {amdahl_a:.1f} s,
+b ≈ {amdahl_b:.0f} s but OVER-predicts 32 cores
+({amdahl_a + amdahl_b / 32:.1f} s modeled vs {r32['build_s']} s
+observed) — i.e. the gap is not a fixed serial term (the r2 driver
+collect+concat that was one is gone; the build now stays distributed
+as a block_slice shard frame) but bandwidth contention that local[2]
+does not yet feel.
 
 ### Growable taffy families, {r2['families']['taffy_block']['n']:,} keys
 ### (TBF: partial build + schedule-aligned OR merge;

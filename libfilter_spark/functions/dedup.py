@@ -38,12 +38,14 @@ def _hash_token_batch(tokens: list[str]) -> np.ndarray:
     """Stable 64-bit hashes for a whole batch of tokens at once.
 
     Tokens pack to fixed-width words — first 16 utf-8 bytes as two
-    little-endian uint64 lanes, last 8 bytes as a third, byte length as
-    a fourth — mixed with odd constants and a splitmix64 avalanche.
-    Distinct natural-language/code tokens collide only if they share
-    the first 16 AND last 8 bytes AND length. The per-token Python is
-    one encode + two C-level slice/pads; all arithmetic is vectorized
-    (the old per-token, per-byte FNV loop is gone)."""
+    little-endian uint64 lanes, last 8 bytes as a third, a middle
+    8-byte window as a fourth (tokens > 24 bytes only — long hex
+    digests/URLs/paths differing only in the middle would otherwise
+    collide, and a false shingle match survives even the exact-Jaccard
+    verifier because it reuses this hash), byte length as a fifth —
+    mixed with odd constants and a splitmix64 avalanche. The per-token
+    Python is one encode + three C-level slice/pads; all arithmetic is
+    vectorized (the old per-token, per-byte FNV loop is gone)."""
     n = len(tokens)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
@@ -51,12 +53,16 @@ def _hash_token_batch(tokens: list[str]) -> np.ndarray:
     lens = np.fromiter((len(e) for e in enc), dtype=np.uint64, count=n)
     head = b"".join(e[:16].ljust(16, b"\0") for e in enc)
     tail = b"".join(e[-8:].rjust(8, b"\0") for e in enc)
+    mid = b"".join(e[(len(e) >> 1) - 4:(len(e) >> 1) + 4]
+                   if len(e) > 24 else b"\0\0\0\0\0\0\0\0" for e in enc)
     hw = np.frombuffer(head, dtype="<u8").reshape(n, 2)
     tw = np.frombuffer(tail, dtype="<u8")
+    mw = np.frombuffer(mid, dtype="<u8")
     with np.errstate(over="ignore"):         # mod-2^64 wrap is the hash
         z = (hw[:, 0] * np.uint64(0x9E3779B97F4A7C15)
              ^ hw[:, 1] * np.uint64(0xC2B2AE3D27D4EB4F)
              ^ tw * np.uint64(0x100000001B3)
+             ^ mw * np.uint64(0xD6E8FEB86659FD93)
              ^ lens * np.uint64(0xFF51AFD7ED558CCD))
         z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
@@ -180,18 +186,53 @@ def cap_buckets(buckets: DataFrame, key_cols: list[str],
                 max_bucket: int) -> DataFrame:
     """Drop members of degenerate LSH buckets (> max_bucket rows per
     key) before a bucket self-join — one boilerplate/empty-doc bucket
-    is quadratic at scale. NOT a silent cap: dropped members carry
-    ``bucket_size`` > max_bucket in the returned frame's complement,
-    and callers can audit via ``lsh_bucket_stats``. Near-dups inside a
-    dropped bucket are still reachable through their other bands, and
-    exact duplicates through the sha-key exact-dedup pass."""
-    w = buckets.groupBy(*key_cols).agg(F.count("*").alias("bucket_size"))
-    return (buckets.join(F.broadcast(
-        w.where(F.col("bucket_size") > max_bucket)
-        .select(*key_cols, F.lit(True).alias("__oversized"))),
-        on=key_cols, how="left")
-        .where(F.col("__oversized").isNull())
-        .drop("__oversized"))
+    is quadratic at scale. Implemented as ONE window count over the
+    bucket key (the self-join shuffles on the same key, so the window
+    exchange is reused — no separate aggregate + broadcast-join pass).
+    NOT a silent cap: callers can audit via ``lsh_bucket_stats``.
+
+    CAVEAT: a near-identical cluster larger than the cap oversizes ALL
+    its band buckets simultaneously, so plain dropping loses it
+    entirely. Pair-emitting callers should use ``cap_buckets_star``,
+    which preserves cluster connectivity through hub star pairs."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(*key_cols)
+    return (buckets.withColumn("__bsz", F.count("*").over(w))
+            .where(F.col("__bsz") <= max_bucket).drop("__bsz"))
+
+
+def cap_buckets_star(buckets: DataFrame, key_cols: list[str],
+                     id_col: str, max_bucket: int
+                     ) -> tuple[DataFrame, DataFrame]:
+    """Cap degenerate buckets WITHOUT losing cluster connectivity:
+    → (kept_buckets, star_pairs).
+
+    Oversized buckets (> max_bucket members) are removed from the
+    quadratic self-join, but instead of dropping their members
+    entirely (which loses any near-identical cluster bigger than the
+    cap — every band bucket of such a cluster oversizes at once), each
+    oversized bucket emits (hub=min id, member) STAR pairs — O(n) per
+    bucket. Downstream exact verification (Jaccard / Hamming / cosine)
+    then keeps exactly the members genuinely near the hub, so
+    connected-component clustering still unions the cluster. Pair
+    recall inside an oversized bucket is hub-star (a member pair both
+    near each other but far from the hub is not emitted) — the
+    documented price of escaping the quadratic join.
+
+    One window pass computes the size and the hub; no extra aggregate
+    or broadcast join."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(*key_cols)
+    sized = buckets.withColumn("__bsz", F.count("*").over(w)) \
+                   .withColumn("__hub", F.min(id_col).over(w))
+    kept = sized.where(F.col("__bsz") <= max_bucket) \
+        .drop("__bsz", "__hub")
+    star = (sized.where((F.col("__bsz") > max_bucket)
+                        & (F.col(id_col) > F.col("__hub")))
+            .select(F.col("__hub").alias("id_a"),
+                    F.col(id_col).alias("id_b"))
+            .distinct())
+    return kept, star
 
 
 def lsh_bucket_stats(buckets: DataFrame, key_cols: list[str],
@@ -220,9 +261,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     threshold. The only row-scale shuffle is (band_idx, band_hash,
     id) — candidates within a bucket pair up via a self-join, then an
     exact n-gram Jaccard verifies each candidate pair once. Buckets
-    larger than max_bucket (degenerate: empty docs, boilerplate) are
-    excluded from the self-join (see cap_buckets); pass
-    max_bucket=None to disable.
+    larger than max_bucket (degenerate: empty docs, boilerplate) skip
+    the quadratic self-join but still emit hub star pairs
+    (``cap_buckets_star``) so near-identical clusters bigger than the
+    cap stay connected; pass max_bucket=None to disable.
     """
     rows_per_band = k // bands
     sigs = minhash_signatures_df(df, id_col, text_col, k, shingle_width)
@@ -238,13 +280,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     buckets = (sigs.select(id_col, F.explode(F.array(*band_cols))
                            .alias("band_bucket"))
                .select(id_col, "band_bucket.band", "band_bucket.bh"))
+    star = None
     if max_bucket is not None:
-        buckets = cap_buckets(buckets, ["band", "bh"], max_bucket)
+        buckets, star = cap_buckets_star(buckets, ["band", "bh"],
+                                         id_col, max_bucket)
     left = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
     right = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
     cand = (left.join(right, on=["band", "bh"])
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+            .select("id_a", "id_b"))
+    if star is not None:
+        cand = cand.unionAll(star)
+    cand = cand.distinct()
     return verify_jaccard_pairs(cand, df, id_col, text_col,
                                 shingle_width, threshold)
 
@@ -343,27 +390,47 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
                        max_bucket: int = 256) -> DataFrame:
     """Candidates via 4×16-bit band equality (any doc pair within
     Hamming distance 3 shares at least one of 4 bands), verified by
-    exact popcount. → (id_a, id_b, hamming). Degenerate band buckets
-    (> max_bucket members — e.g. simhash 0 from empty docs) are
-    excluded from the self-join (cap_buckets semantics)."""
+    exact popcount. → (id_a, id_b, hamming).
+
+    All 4 bands explode into ONE (id, band, bk) frame — a single
+    window-capped pass and a single (band, bk) self-join, instead of 4
+    aggregate+join rounds (the round-2 regression). Degenerate band
+    buckets (> max_bucket members — e.g. simhash 0 from empty docs)
+    skip the self-join but emit hub star pairs, so the 4-band
+    Hamming≤3 cover degrades to hub-star connectivity (not silence)
+    inside an oversized bucket; the exact popcount verifier keeps only
+    genuinely-close stars."""
     sh = simhash_df(df, id_col, text_col).cache()
-    bands = [(F.shiftright(F.col("simhash"), 16 * i)
-              .bitwiseAND(F.lit(0xFFFF))).alias(f"band{i}")
-             for i in range(4)]
-    with_bands = sh.select(id_col, "simhash", *bands)
-    cands = None
-    for i in range(4):
-        one = with_bands.select(id_col, "simhash",
-                                F.col(f"band{i}").alias("bk"))
-        if max_bucket is not None:
-            one = cap_buckets(one, ["bk"], max_bucket)
-        l = one.select(F.col(id_col).alias("id_a"),
-                       F.col("simhash").alias("sh_a"), "bk")
-        r = one.select(F.col(id_col).alias("id_b"),
-                       F.col("simhash").alias("sh_b"), "bk")
-        c = l.join(r, on="bk").where(F.col("id_a") < F.col("id_b")) \
-            .select("id_a", "id_b", "sh_a", "sh_b")
-        cands = c if cands is None else cands.unionAll(c)
+    band_structs = [
+        F.struct(F.lit(i).alias("band"),
+                 (F.shiftright(F.col("simhash"), 16 * i)
+                  .bitwiseAND(F.lit(0xFFFF))).alias("bk"))
+        for i in range(4)]
+    buckets = (sh.select(id_col, "simhash",
+                         F.explode(F.array(*band_structs)).alias("bb"))
+               .select(id_col, "simhash", "bb.band", "bb.bk"))
+    star = None
+    if max_bucket is not None:
+        buckets, star = cap_buckets_star(buckets, ["band", "bk"],
+                                         id_col, max_bucket)
+    l = buckets.select(F.col(id_col).alias("id_a"),
+                       F.col("simhash").alias("sh_a"), "band", "bk")
+    r = buckets.select(F.col(id_col).alias("id_b"),
+                       F.col("simhash").alias("sh_b"), "band", "bk")
+    cands = (l.join(r, on=["band", "bk"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sh_a", "sh_b"))
+    if star is not None:
+        sh_vals = sh.select(id_col, "simhash")
+        star_sh = (star
+                   .join(sh_vals.select(F.col(id_col).alias("id_a"),
+                                        F.col("simhash").alias("sh_a")),
+                         on="id_a")
+                   .join(sh_vals.select(F.col(id_col).alias("id_b"),
+                                        F.col("simhash").alias("sh_b")),
+                         on="id_b")
+                   .select("id_a", "id_b", "sh_a", "sh_b"))
+        cands = cands.unionAll(star_sh)
     cands = cands.distinct()
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (cands.withColumn("hamming", ham.cast("int"))
@@ -379,13 +446,19 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
     """Connected components over near-dup pairs → (id, cluster_id)
     with cluster_id = the minimum member id (deterministic labels).
 
-    Iterative min-label propagation over the edge list: each round
-    every node adopts the smallest label among itself and its
-    neighbors; converges in O(log diameter) rounds (near-dup clusters
-    are small and dense, so 2-3 rounds in practice; max_iters bounds
-    adversarial chains). All joins are on the id column — no
-    driver-side state, scales with the pairs volume, which is
-    output-sized (≈ the duplicate count, not the corpus)."""
+    Min-label propagation with POINTER JUMPING over the edge list:
+    each round every node adopts the smallest label among itself and
+    its neighbors (one hop), then jumps to its label's label
+    (label(x) <- label(label(x))) — so label information travels
+    ~2^rounds hops and convergence is O(log diameter), not
+    O(diameter): a 10k-node chain converges in ~14 rounds, well under
+    max_iters. All joins are on the id column — no driver-side state,
+    scales with the pairs volume, which is output-sized (≈ the
+    duplicate count, not the corpus). Superseded label caches are
+    unpersisted each round and the lineage is truncated with a
+    localCheckpoint every 5 rounds so adversarial chains can't grow
+    an unbounded plan. Warns if max_iters is exhausted before
+    convergence (labels would split one true cluster)."""
     pairs = pairs.cache()   # the edge union reads it twice; without
     # this the whole upstream candidate pipeline recomputes per select
     edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
@@ -395,21 +468,54 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.select(F.col("u").alias("id"))
               .distinct()
               .withColumn("cluster_id", F.col("id")))
-    for _ in range(max_iters):
+    converged = False
+    cached: list = []            # superseded caches to release
+    for it in range(max_iters):
         neigh = (edges.join(labels, edges.v == labels.id)
                  .select(F.col("u").alias("id"),
                          F.col("cluster_id").alias("nl")))
-        new = (labels.select("id", F.col("cluster_id").alias("nl"))
+        hop = (labels.select("id", F.col("cluster_id").alias("nl"))
                .unionAll(neigh)
                .groupBy("id").agg(F.min("nl").alias("cluster_id")))
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), on="id")
-                   .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                   .limit(1).count())
-        labels = new.cache()
-        labels.count()
+        # pointer jump: follow my label to ITS label and take the min —
+        # doubles the propagation distance per round
+        parents = hop.select(F.col("id").alias("__pid"),
+                             F.col("cluster_id").alias("__plabel"))
+        jumped = (hop.join(parents, hop.cluster_id == parents.__pid,
+                           "left")
+                  .select("id",
+                          F.least("cluster_id",
+                                  F.coalesce("__plabel", "cluster_id"))
+                          .alias("cluster_id")))
+        # materialize ONCE with the change flag riding along; the
+        # convergence check is then a scan of the fresh cache, not a
+        # recomputation of the whole round
+        cmp = (jumped.alias("n")
+               .join(labels.alias("o"), on="id")
+               .select("id", F.col("n.cluster_id").alias("cluster_id"),
+                       (F.col("n.cluster_id") != F.col("o.cluster_id"))
+                       .alias("__chg")))
+        if (it + 1) % 5 == 0:   # truncate lineage on long chains
+            cmp = cmp.localCheckpoint(eager=True)
+        else:
+            cmp = cmp.cache()
+            cmp.count()
+        changed = cmp.where("__chg").limit(1).count()
+        while len(cached) > 1:  # keep only the cache labels reads from
+            cached.pop(0).unpersist()
+        cached.append(cmp)
+        labels = cmp.drop("__chg")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+        warnings.warn(
+            f"near_dup_clusters: not converged after {max_iters} rounds "
+            "— a cluster with diameter > ~2^rounds would be split into "
+            "multiple labels; raise max_iters", RuntimeWarning)
+    while len(cached) > 1:      # the final cache backs the result
+        cached.pop(0).unpersist()
     return labels
 
 

@@ -146,6 +146,40 @@ def build_filters(df: DataFrame, group_cols: list[str] | None,
     proj = df.select(*group_cols, key_col)
     partial_schema = _result_schema(proj, group_cols)
 
+    if not group_cols:
+        # GLOBAL partial build goes through mapInArrow: the pandas
+        # conversion would materialize one Python bytes object per
+        # binary key — measured to dominate the Python stage and cap
+        # its multi-worker scaling (see spark/sharded.py build_slice);
+        # keys_from_arrow reads the Arrow buffer zero-copy instead.
+        def arrow_partials(batches):
+            import pyarrow as pa
+
+            from ..kernels.keys import keys_from_arrow
+            f = None
+            n = 0
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                if f is None:
+                    f = create_filter(family, ndv, fpp)
+                f.add_hashes(keys_from_arrow(batch.column(0)))
+                n += batch.num_rows
+            if f is not None:
+                yield pa.RecordBatch.from_pydict({
+                    "family": pa.array([family]),
+                    "params": pa.array([params]),
+                    "n_keys": pa.array([n], type=pa.int64()),
+                    "n_partials": pa.array([1], type=pa.int64()),
+                    "filter": pa.array([f.serialize()],
+                                       type=pa.binary())})
+
+        partials = proj.mapInArrow(
+            arrow_partials,
+            schema="family string, params string, n_keys long, "
+                   "n_partials long, filter binary")
+        return merge_filter_blobs(partials, group_cols)
+
     def partial_builder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[tuple, object] = {}
         counts: dict[tuple, int] = {}
@@ -280,24 +314,30 @@ def _build_grouped(df: DataFrame, group_cols: list[str], key_col: str,
     proj = df.select(*group_cols, key_col)
     schema = _result_schema(proj, group_cols)
 
-    def bulk(pdf: pd.DataFrame) -> pd.DataFrame:
+    def bulk(table):
+        # applyInArrow + zero-copy key extraction (see arrow_partials)
+        import pyarrow as pa
+
+        from ..kernels.keys import keys_from_arrow
+        keys = keys_from_arrow(table.column(key_col))
         if family == "static_xor":
-            keys = np.unique(_keys_from_series(pdf[key_col]))
+            keys = np.unique(keys)
             f = StaticXorFilter.construct(keys)
         else:
-            keys = _keys_from_series(pdf[key_col])
             f = create_filter(family, ndv, fpp)
             f.add_hashes(keys)
-        out = {c: [pdf[c].iloc[0]] for c in group_cols}
-        out["family"] = [family]
-        out["params"] = [params]
-        out["n_keys"] = [len(keys)]
-        out["n_partials"] = [1]
-        out["filter"] = [f.serialize()]
-        return pd.DataFrame(out)
+        cols = {c: table.column(c).slice(0, 1).combine_chunks()
+                for c in group_cols}
+        cols["family"] = pa.array([family])
+        cols["params"] = pa.array([params])
+        cols["n_keys"] = pa.array([len(keys)], type=pa.int64())
+        cols["n_partials"] = pa.array([1], type=pa.int64())
+        cols["filter"] = pa.array([f.serialize()], type=pa.binary())
+        return pa.table(cols)
 
     if group_cols:
-        return proj.groupBy(*group_cols).applyInPandas(bulk, schema=schema)
+        return proj.groupBy(*group_cols).applyInArrow(bulk, schema=schema)
     return (proj.withColumn("__g", F.lit(0)).groupBy("__g")
-            .applyInPandas(lambda pdf: bulk(pdf.drop(columns="__g")),
-                           schema=schema))
+            .applyInArrow(
+                lambda table: bulk(table.drop_columns("__g")),
+                schema=schema))

@@ -24,16 +24,13 @@ so each filter fits an executor's working set.
 from __future__ import annotations
 
 import json
-from typing import Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (BinaryType, LongType, StringType,
                                StructField, StructType)
 
 from ..filters import FAMILIES
-from .build import _keys_from_series
 
 SHARD_COL = "__shard"
 
@@ -73,17 +70,25 @@ def build_filter_forest(df: DataFrame, key_col: str = "key",
         StructField("filter", BinaryType()),
     ])
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys = _keys_from_series(pdf[key_col])
+    def build(table):
+        # applyInArrow + zero-copy key extraction: a pandas grouped map
+        # would materialize one Python bytes object per key
+        import pyarrow as pa
+
+        from ..kernels.keys import keys_from_arrow
+        keys = keys_from_arrow(table.column(key_col))
         f = cls.create(per_shard, fpp)
         f.add_hashes(keys)
-        return pd.DataFrame({
-            SHARD_COL: [int(pdf[SHARD_COL].iloc[0])],
-            "family": [family], "params": [params],
-            "n_keys": [len(keys)], "n_partials": [1],
-            "filter": [f.serialize()]})
+        return pa.table({
+            SHARD_COL: pa.array(
+                [table.column(SHARD_COL)[0].as_py()], type=pa.int64()),
+            "family": pa.array([family]),
+            "params": pa.array([params]),
+            "n_keys": pa.array([len(keys)], type=pa.int64()),
+            "n_partials": pa.array([1], type=pa.int64()),
+            "filter": pa.array([f.serialize()], type=pa.binary())})
 
-    return proj.groupBy(SHARD_COL).applyInPandas(build, schema=schema)
+    return proj.groupBy(SHARD_COL).applyInArrow(build, schema=schema)
 
 
 def probe_with_forest(df: DataFrame, forest_df: DataFrame,

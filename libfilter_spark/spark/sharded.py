@@ -28,10 +28,8 @@ asserted in tests) — it is an EXPORT, not a build step.
 from __future__ import annotations
 
 import json
-from typing import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
@@ -39,7 +37,6 @@ from pyspark.sql.types import BinaryType
 from ..filters.block import BlockSliceFilter
 from ..kernels import block as K
 from ..kernels.sizing import BUCKET_BYTES, block_bytes_needed
-from .build import _keys_from_series
 
 SHARD_COL = "__shard"
 
@@ -100,16 +97,31 @@ def build_block_shards(df: DataFrame, key_col: str = "key",
                          "n_shards": int(n_shards),
                          "routing": "bucket_range"})
 
+    # the shard column exists only to drive the repartition; it is a
+    # pure function of the key, so it does NOT cross into Python —
+    # only the 8-byte key column goes through Arrow
     routed = with_block_shard(df.select(key_col), key_col, num_buckets,
-                              n_shards).repartition(n_shards, SHARD_COL)
+                              n_shards).repartition(n_shards, SHARD_COL) \
+        .select(key_col)
 
-    def build_slice(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build_slice(batches):
+        # mapInArrow, not mapInPandas: the pandas conversion would
+        # materialize one Python bytes object PER KEY (50M/build) —
+        # measured to cap the Python stage's 2->8 scaling at ~0.4 via
+        # allocator pressure. keys_from_arrow reads the Arrow data
+        # buffer zero-copy instead.
+        import pyarrow as pa
+
+        from ..kernels.keys import keys_from_arrow
         slices: dict[int, np.ndarray] = {}
         counts: dict[int, int] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            for s, sub in pdf.groupby(SHARD_COL, sort=False):
+            keys = keys_from_arrow(batch.column(0))
+            buckets = K.bucket_index(keys, num_buckets).astype(np.int64)
+            shards = buckets * n_shards // num_buckets  # same formula
+            for s in np.unique(shards):
                 s = int(s)
                 lo, hi = bounds[s]
                 sl = slices.get(s)
@@ -117,29 +129,32 @@ def build_block_shards(df: DataFrame, key_col: str = "key",
                     sl = slices[s] = np.zeros(
                         (hi - lo) * K.WORDS_PER_BUCKET, dtype=np.uint32)
                     counts[s] = 0
-                keys = _keys_from_series(sub[key_col])
-                idx = K.bucket_index(keys, num_buckets).astype(np.int64) - lo
-                masks = K.make_masks(keys)
+                sel = shards == s
+                k = keys[sel]
+                idx = buckets[sel] - lo
+                masks = K.make_masks(k)
                 m64 = np.ascontiguousarray(masks).view(np.uint64)
                 b64 = sl.view(np.uint64).reshape(-1, 4)
                 for lane in range(4):
                     np.bitwise_or.at(b64[:, lane], idx, m64[:, lane])
-                counts[s] += len(keys)
+                counts[s] += len(k)
         if slices:
-            yield pd.DataFrame({
-                SHARD_COL: list(slices),
-                "family": ["block_slice"] * len(slices),
-                "params": [params] * len(slices),
-                "n_keys": [counts[s] for s in slices],
-                "n_partials": [1] * len(slices),
-                "filter": [
-                    BlockSliceFilter(num_buckets, bounds[s][0],
-                                     sl).serialize()
-                    for s, sl in slices.items()]})
+            yield pa.RecordBatch.from_pydict({
+                SHARD_COL: pa.array(list(slices), type=pa.int32()),
+                "family": pa.array(["block_slice"] * len(slices)),
+                "params": pa.array([params] * len(slices)),
+                "n_keys": pa.array([counts[s] for s in slices],
+                                   type=pa.int64()),
+                "n_partials": pa.array([1] * len(slices),
+                                       type=pa.int64()),
+                "filter": pa.array(
+                    [BlockSliceFilter(num_buckets, bounds[s][0],
+                                      sl).serialize()
+                     for s, sl in slices.items()], type=pa.binary())})
 
     # repartition(n, SHARD_COL) hash-partitions on the shard id, so a
     # shard never splits across tasks — exactly one row per shard
-    return routed.mapInPandas(
+    return routed.mapInArrow(
         build_slice,
         schema=f"{SHARD_COL} int, family string, params string, "
                "n_keys long, n_partials long, filter binary")

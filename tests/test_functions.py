@@ -187,9 +187,39 @@ def test_lsh_skewed_bucket_capped(spark):
                               max_bucket=64)
     got = {(a, b) for a, b in pairs.select("id_a", "id_b").collect()}
     assert (500, 2000) in got
-    # no boilerplate pair survived the cap (300 identical docs would
-    # otherwise contribute ~45k pairs)
-    assert not any(a < 300 and b < 300 for a, b in got)
+    # the oversized boilerplate bucket emits O(n) HUB STAR pairs
+    # (hub = min id 0), not the ~45k quadratic pairs — and not zero:
+    # dropping them entirely would disconnect a near-identical cluster
+    # larger than the cap (every band bucket oversizes at once)
+    boiler = {(a, b) for a, b in got if a < 300 and b < 300}
+    assert boiler == {(0, i) for i in range(1, 300)}
+    # downstream keep-one-representative therefore keeps exactly one
+    # boilerplate doc
+    from libfilter_spark.functions.dedup import keep_representatives
+    kept = keep_representatives(df, pairs, "doc_id")
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert kept_ids & set(range(300)) == {0}
+
+
+def test_near_dup_clusters_long_chain(spark):
+    """Pointer-jumping label propagation converges in O(log diameter):
+    a 10k-node planted chain resolves to ONE cluster within the
+    default iteration budget (plain one-hop propagation would need
+    10k rounds) with bounded plan depth via periodic checkpoints."""
+    from libfilter_spark.functions.dedup import near_dup_clusters
+    n = 10_000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")  # tiny frames:
+    # ~14 rounds x 3 jobs are pure scheduling overhead at 32 partitions
+    try:
+        labels = near_dup_clusters(pairs, max_iters=20)
+        got = labels.select("cluster_id").distinct().collect()
+        assert len(got) == 1 and got[0][0] == 0
+        assert labels.count() == n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def test_cap_buckets_stats(spark):

@@ -58,3 +58,37 @@ def test_make_pyfiles(tmp_path):
     assert "libfilter_spark/__init__.py" in names
     assert any("kernels/block.py" in n for n in names)
     assert not any("__pycache__" in n for n in names)
+
+
+def test_catalog_partition_pruning(spark):
+    """The catalog layer (sources/catalog.py): documents registered as
+    a lang-partitioned external table. A lang-filtered scan must show
+    the predicate in PartitionFilters (directory pruning — the
+    Iceberg-shaped behavior), push residual predicates to the reader,
+    and prune columns to the selection."""
+    from libfilter_spark.sources.catalog import (
+        register_partitioned_documents, scan_documents_lang)
+    sf = "/root/testdata/sf0.001"
+    table = register_partitioned_documents(spark, sf)
+    assert spark.catalog.tableExists(table)
+    df = (scan_documents_lang(spark, sf, "en", ["source", "n_chars"])
+          .where("n_chars > 100"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in \
+        plan[plan.index("PartitionFilters"):], plan
+    pf = plan[plan.index("PartitionFilters"):]
+    assert "lang" in pf.split("]")[0], pf[:200]
+    assert "PushedFilters" in plan
+    pushed = plan[plan.index("PushedFilters"):].split("]")[0]
+    assert "n_chars" in pushed, pushed
+    assert "ReadSchema" in plan
+    rs = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "text" not in rs, rs  # column pruning: text not read
+    # correctness: counts match an unpartitioned filtered read
+    import pyspark.sql.functions as F
+    expect = (spark.read.parquet(f"{sf}/documents.parquet")
+              .where((F.col("lang") == "en") & (F.col("n_chars") > 100))
+              .count())
+    assert df.count() == expect
+    # registration is idempotent within the session
+    assert register_partitioned_documents(spark, sf) == table
