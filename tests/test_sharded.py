@@ -25,6 +25,33 @@ def test_sharded_build_byte_identical(spark):
         assert blob == expect, f"shards={shards} differs"
 
 
+def test_sharded_build_engines_byte_identical(spark):
+    """Both build engines — JVM bit_or aggregation and Arrow/numpy
+    scatter — produce byte-identical shard frames (same slices, same
+    per-shard key counts), for binary AND int64 key columns."""
+    from libfilter_spark.spark.sharded import (assemble_block_shards,
+                                               build_block_shards)
+    n = 20_000
+    df = spark.range(n).withColumn("content", F.col("id").cast("string"))
+    bin_keys = with_content_key_bin(df, "content").select("key")
+    from libfilter_spark.spark.keys import with_content_key
+    long_keys = with_content_key(df, "content",
+                                 hex_col=None).select("key")
+    local = BlockFilter.create_with_ndv_fpp(n, 0.01)
+    local.add_hashes(sha256_keys([str(i) for i in range(n)]))
+    expect = local.serialize()
+    for keys in (bin_keys, long_keys):
+        frames = {}
+        for engine in ("jvm", "arrow"):
+            sh = build_block_shards(keys, ndv=n, fpp=0.01, n_shards=6,
+                                    engine=engine)
+            rows = {r["__shard"]: (bytes(r["filter"]), r["n_keys"])
+                    for r in sh.collect()}
+            frames[engine] = rows
+            assert assemble_block_shards(sh) == expect, engine
+        assert frames["jvm"] == frames["arrow"]
+
+
 def test_sharded_probe_round_trip(spark):
     n = 30_000
     df = spark.range(n).withColumn("content", F.col("id").cast("string"))
