@@ -92,63 +92,42 @@ absent = (spark.range(n_taffy, 2 * n_taffy, numPartitions=2 * cpus)
 akeys = with_content_key_bin(absent, "content").select("key")
 fam = {}
 
-# taffy block: mergeable partial+union build (every partial shares the
-# full-population level schedule — union requires identical schedules,
-# and OR-merge keeps the density right)
-best = float("inf")
-for _ in range(2):
-    t0 = time.perf_counter()
-    fdf = build_filters(keys2, None, family="taffy_block", ndv=n_taffy,
-                        fpp=0.004)
-    frow = fdf.collect()[0]
-    best = min(best, time.perf_counter() - t0)
-fdf2 = spark.createDataFrame(
-    [(frow["family"], frow["params"], frow["n_keys"],
-      frow["n_partials"], frow["filter"])],
-    "family string, params string, n_keys long, n_partials long, "
-    "filter binary")
-pbest = float("inf")
-for _ in range(2):
-    t0 = time.perf_counter()
-    found = probe_with_filters(keys2, fdf2, None) \
-        .where("maybe_seen").count()
-    pbest = min(pbest, time.perf_counter() - t0)
-    assert found == n_taffy, ("taffy_block", found, n_taffy)
-n_fp = probe_with_filters(akeys, fdf2, None).where("maybe_seen").count()
-fam["taffy_block"] = {"build_keys_per_s": round(n_taffy / best),
-                      "probe_keys_per_s": round(n_taffy / pbest),
-                      "n": n_taffy, "fpp": round(n_fp / n_taffy, 5),
-                      "filter_bytes": len(bytes(frow["filter"]))}
-
-# taffy cuckoo: the merge-free FOREST path (one full-resolution filter
-# per key shard; a P-way union burns log2(P) tail bits, so at high
-# parallelism the forest is the correct scale structure — forest.py)
+# growable taffy families at parallelism: the merge-free FOREST path
+# (one full-resolution filter per key shard; forest.py). For TCF a
+# P-way union burns log2(P) tail bits; for TBF, P mergeable partials
+# each carry a FULL-population level schedule (7 MB zero-init + OR
+# traffic per task — measured to anti-scale past ~16 tasks), so at
+# high parallelism the forest is the correct scale structure for
+# both. The mergeable partial+OR path stays covered by the driver
+# queries and merge_order_associativity.
 from libfilter_spark.spark.forest import (build_filter_forest,
                                           probe_with_forest)
-best = float("inf")
-for _ in range(2):
-    t0 = time.perf_counter()
-    forest = build_filter_forest(keys2, "key", "taffy_cuckoo",
-                                 ndv=n_taffy, fpp=0.004,
-                                 n_shards=2 * cpus)
-    rows = forest.collect()
-    best = min(best, time.perf_counter() - t0)
-forest_df = spark.createDataFrame(rows, forest.schema).cache()
-forest_df.count()
-pbest = float("inf")
-for _ in range(2):
-    t0 = time.perf_counter()
-    found = probe_with_forest(keys2, forest_df, "key") \
+for family in ("taffy_block", "taffy_cuckoo"):
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        forest = build_filter_forest(keys2, "key", family,
+                                     ndv=n_taffy, fpp=0.004,
+                                     n_shards=2 * cpus)
+        rows = forest.collect()
+        best = min(best, time.perf_counter() - t0)
+    forest_df = spark.createDataFrame(rows, forest.schema).cache()
+    forest_df.count()
+    pbest = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        found = probe_with_forest(keys2, forest_df, "key") \
+            .where("maybe_seen").count()
+        pbest = min(pbest, time.perf_counter() - t0)
+        assert found == n_taffy, (family, found, n_taffy)
+    n_fp = probe_with_forest(akeys, forest_df, "key") \
         .where("maybe_seen").count()
-    pbest = min(pbest, time.perf_counter() - t0)
-    assert found == n_taffy, ("taffy_cuckoo", found, n_taffy)
-n_fp = probe_with_forest(akeys, forest_df, "key") \
-    .where("maybe_seen").count()
-fam["taffy_cuckoo"] = {
-    "build_keys_per_s": round(n_taffy / best),
-    "probe_keys_per_s": round(n_taffy / pbest),
-    "n": n_taffy, "fpp": round(n_fp / n_taffy, 5),
-    "filter_bytes": sum(len(bytes(r["filter"])) for r in rows)}
+    fam[family] = {
+        "build_keys_per_s": round(n_taffy / best),
+        "probe_keys_per_s": round(n_taffy / pbest),
+        "n": n_taffy, "fpp": round(n_fp / n_taffy, 5),
+        "filter_bytes": sum(len(bytes(r["filter"])) for r in rows)}
+    forest_df.unpersist()
 
 print(json.dumps({"cpus": cpus, "n": n,
                   "build_s": round(build_s, 3),
@@ -278,8 +257,9 @@ as a block_slice shard frame) but bandwidth contention that local[2]
 does not yet feel.
 
 ### Growable taffy families, {r2['families']['taffy_block']['n']:,} keys
-### (TBF: partial build + schedule-aligned OR merge;
-###  TCF: the merge-free filter FOREST, spark/forest.py)
+### (both via the merge-free filter FOREST, spark/forest.py — the
+###  scale structure for growable families; the mergeable partial+OR
+###  path is exercised by the driver queries + associativity tests)
 
 | config | TBF build keys/s | TBF probe keys/s | TCF build keys/s | TCF probe keys/s |
 |---|---|---|---|---|

@@ -330,19 +330,35 @@ def embedding_near_pairs(df: DataFrame, threshold: float = 0.9,
     """Near-duplicate vectors: bucketed self-join candidates, exact
     cosine verification → (id_a, id_b, cosine >= threshold). Buckets
     with more than max_bucket members (zero vectors, constant
-    embeddings) are excluded from the self-join — see
-    dedup.cap_buckets for the audit contract; pass max_bucket=None for
-    the exhaustive small-n path (n_bits=0 oracle verification)."""
-    from .dedup import cap_buckets
+    embeddings) skip the quadratic self-join but emit hub STAR pairs
+    (dedup.cap_buckets_star): an identical-embedding cluster bigger
+    than the cap oversizes its bucket in every probe, so plain
+    dropping would silently lose it — the exact cosine verifier keeps
+    the true members, O(n) per oversized bucket. Pass max_bucket=None
+    for the exhaustive small-n path (n_bits=0 oracle verification)."""
+    from .dedup import cap_buckets_star
     b = lsh_buckets(df, id_col, vec_col, n_bits, dim)
+    star = None
     if max_bucket is not None:
-        b = cap_buckets(b, ["bucket"], max_bucket)
+        b, star = cap_buckets_star(b, ["bucket"], id_col, max_bucket)
     withb = df.join(b, on=id_col)
     l = withb.select(F.col(id_col).alias("id_a"),
                      F.col(vec_col).alias("__va"), "bucket")
     r = withb.select(F.col(id_col).alias("id_b"),
                      F.col(vec_col).alias("__vb"), "bucket")
-    cand = l.join(r, on="bucket").where(F.col("id_a") < F.col("id_b"))
+    cand = (l.join(r, on="bucket").where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__va", "__vb"))
+    if star is not None:
+        vecs = df.select(id_col, vec_col)
+        star_v = (star
+                  .join(vecs.select(F.col(id_col).alias("id_a"),
+                                    F.col(vec_col).alias("__va")),
+                        on="id_a")
+                  .join(vecs.select(F.col(id_col).alias("id_b"),
+                                    F.col(vec_col).alias("__vb")),
+                        on="id_b")
+                  .select("id_a", "id_b", "__va", "__vb"))
+        cand = cand.unionAll(star_v).dropDuplicates(["id_a", "id_b"])
 
     schema = StructType([
         StructField("id_a", df.schema[id_col].dataType),

@@ -25,16 +25,12 @@ from __future__ import annotations
 import hashlib
 import json
 import time
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (BinaryType, DoubleType, LongType, StringType,
                                StructField, StructType)
 
-from .build import create_filter, merge_filter_blobs, _keys_from_series
+from .build import create_filter, merge_filter_blobs
 
 SALT_COL = "__salt"
 
@@ -72,28 +68,35 @@ def build_partials_salted(df: DataFrame, group_cols: list[str],
     salted = with_salt(df.select(*group_cols, key_col), key_col, n_salts)
     schema = _partial_schema(salted, group_cols)
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+    def build(table):
+        # applyInArrow + zero-copy keys (a pandas grouped map would
+        # materialize one Python bytes object per key)
+        import pyarrow as pa
+
+        from ..kernels.keys import keys_from_arrow
         t0 = time.perf_counter()
         f = create_filter(family, ndv, fpp)
-        keys = _keys_from_series(pdf[key_col])
+        keys = keys_from_arrow(table.column(key_col))
         f.add_hashes(keys)
-        gvals = [pdf[c].iloc[0] for c in group_cols]
-        salt = int(pdf[SALT_COL].iloc[0])
+        gvals = [table.column(c)[0].as_py() for c in group_cols]
+        salt = int(table.column(SALT_COL)[0].as_py())
         lineage = hashlib.sha256(
             json.dumps([family, params, [str(g) for g in gvals], salt])
             .encode()).hexdigest()[:16]
-        out = {c: [v] for c, v in zip(group_cols, gvals)}
-        out[SALT_COL] = [salt]
-        out["family"] = [family]
-        out["params"] = [params]
-        out["n_keys"] = [len(keys)]
-        out["n_partials"] = [1]
-        out["filter"] = [f.serialize()]
-        out["lineage_id"] = [lineage]
-        out["build_ms"] = [(time.perf_counter() - t0) * 1000.0]
-        return pd.DataFrame(out)
+        cols = {c: table.column(c).slice(0, 1).combine_chunks()
+                for c in group_cols}
+        cols[SALT_COL] = pa.array([salt], type=pa.int64())
+        cols["family"] = pa.array([family])
+        cols["params"] = pa.array([params])
+        cols["n_keys"] = pa.array([len(keys)], type=pa.int64())
+        cols["n_partials"] = pa.array([1], type=pa.int64())
+        cols["filter"] = pa.array([f.serialize()], type=pa.binary())
+        cols["lineage_id"] = pa.array([lineage])
+        cols["build_ms"] = pa.array(
+            [(time.perf_counter() - t0) * 1000.0], type=pa.float64())
+        return pa.table(cols)
 
-    return salted.groupBy(*group_cols, SALT_COL).applyInPandas(
+    return salted.groupBy(*group_cols, SALT_COL).applyInArrow(
         build, schema=schema)
 
 

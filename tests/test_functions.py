@@ -120,6 +120,23 @@ def test_embedding_near_pairs_finds_cluster_twins(spark):
     assert len(found & expected) / len(expected) >= 0.9
 
 
+def test_embedding_identical_cluster_survives_cap(spark):
+    """An identical-embedding cluster larger than the bucket cap lands
+    in ONE oversized bucket in every probe — plain capping would lose
+    it. The star-pair path keeps it connected with O(n) pairs (hub =
+    min id), verified at cosine 1.0."""
+    rng = np.random.default_rng(7)
+    rows = [(i, [1.0] * 64) for i in range(200)]           # the cluster
+    for i in range(200, 260):                               # distractors
+        rows.append((i, [float(x) for x in rng.normal(size=64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_pairs(df, threshold=0.999, n_bits=6,
+                                 max_bucket=64).collect()
+    cluster = {(r.id_a, r.id_b) for r in pairs
+               if r.id_a < 200 and r.id_b < 200}
+    assert cluster == {(0, i) for i in range(1, 200)}  # star, not n^2
+
+
 def test_winnowing_stable_and_local():
     t1 = "the quick brown fox jumps over the lazy dog " * 5
     f1 = winnow_fingerprints(t1)
