@@ -186,19 +186,24 @@ def cap_buckets(buckets: DataFrame, key_cols: list[str],
                 max_bucket: int) -> DataFrame:
     """Drop members of degenerate LSH buckets (> max_bucket rows per
     key) before a bucket self-join — one boilerplate/empty-doc bucket
-    is quadratic at scale. Implemented as ONE window count over the
-    bucket key (the self-join shuffles on the same key, so the window
-    exchange is reused — no separate aggregate + broadcast-join pass).
-    NOT a silent cap: callers can audit via ``lsh_bucket_stats``.
+    is quadratic at scale. The size pass is a map-side-combined
+    groupBy (shuffle carries per-task bucket counts, not rows) and the
+    oversized-bucket list broadcasts for an anti-join (tiny by
+    construction: at most rows/max_bucket buckets can oversize, and in
+    practice only degenerate boilerplate/empty buckets do). A window
+    count was measured 2x slower here: it forces a sort + full-frame
+    shuffle and loses the map-side combine. NOT a silent cap: callers
+    can audit via ``lsh_bucket_stats``.
 
     CAVEAT: a near-identical cluster larger than the cap oversizes ALL
     its band buckets simultaneously, so plain dropping loses it
     entirely. Pair-emitting callers should use ``cap_buckets_star``,
     which preserves cluster connectivity through hub star pairs."""
-    from pyspark.sql.window import Window
-    w = Window.partitionBy(*key_cols)
-    return (buckets.withColumn("__bsz", F.count("*").over(w))
-            .where(F.col("__bsz") <= max_bucket).drop("__bsz"))
+    over = (buckets.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .where(F.col("__bsz") > max_bucket)
+            .select(*key_cols))
+    return buckets.join(F.broadcast(over), on=key_cols, how="left_anti")
 
 
 def cap_buckets_star(buckets: DataFrame, key_cols: list[str],
@@ -219,16 +224,19 @@ def cap_buckets_star(buckets: DataFrame, key_cols: list[str],
     near each other but far from the hub is not emitted) — the
     documented price of escaping the quadratic join.
 
-    One window pass computes the size and the hub; no extra aggregate
-    or broadcast join."""
-    from pyspark.sql.window import Window
-    w = Window.partitionBy(*key_cols)
-    sized = buckets.withColumn("__bsz", F.count("*").over(w)) \
-                   .withColumn("__hub", F.min(id_col).over(w))
-    kept = sized.where(F.col("__bsz") <= max_bucket) \
-        .drop("__bsz", "__hub")
-    star = (sized.where((F.col("__bsz") > max_bucket)
-                        & (F.col(id_col) > F.col("__hub")))
+    ONE map-side-combined aggregation computes sizes and hubs; the
+    oversized list (tiny by construction — see cap_buckets) broadcasts
+    for the anti-join and the star join, so the big bucket frame is
+    never shuffled or sorted here."""
+    over = (buckets.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__bsz"),
+                 F.min(id_col).alias("__hub"))
+            .where(F.col("__bsz") > max_bucket)
+            .select(*key_cols, "__hub"))
+    kept = buckets.join(F.broadcast(over.select(*key_cols)),
+                        on=key_cols, how="left_anti")
+    star = (buckets.join(F.broadcast(over), on=key_cols)
+            .where(F.col(id_col) > F.col("__hub"))
             .select(F.col("__hub").alias("id_a"),
                     F.col(id_col).alias("id_b"))
             .distinct())
@@ -477,16 +485,24 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
         hop = (labels.select("id", F.col("cluster_id").alias("nl"))
                .unionAll(neigh)
                .groupBy("id").agg(F.min("nl").alias("cluster_id")))
-        # pointer jump: follow my label to ITS label and take the min —
-        # doubles the propagation distance per round
-        parents = hop.select(F.col("id").alias("__pid"),
-                             F.col("cluster_id").alias("__plabel"))
-        jumped = (hop.join(parents, hop.cluster_id == parents.__pid,
-                           "left")
-                  .select("id",
-                          F.least("cluster_id",
-                                  F.coalesce("__plabel", "cluster_id"))
-                          .alias("cluster_id")))
+        if it < 2:
+            # near-dup clusters are small and dense: most inputs
+            # converge in 1-2 plain one-hop rounds, so don't pay the
+            # jump join until the loop shows it's on a long chain
+            jumped = hop
+        else:
+            # pointer jump: follow my label to ITS label and take the
+            # min — doubles the propagation distance per round, making
+            # adversarial chains O(log diameter)
+            parents = hop.select(F.col("id").alias("__pid"),
+                                 F.col("cluster_id").alias("__plabel"))
+            jumped = (hop.join(parents,
+                               hop.cluster_id == parents.__pid, "left")
+                      .select("id",
+                              F.least("cluster_id",
+                                      F.coalesce("__plabel",
+                                                 "cluster_id"))
+                              .alias("cluster_id")))
         # materialize ONCE with the change flag riding along; the
         # convergence check is then a scan of the fresh cache, not a
         # recomputation of the whole round
