@@ -936,10 +936,11 @@ def q_fpp_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               probe_with_forest)
     for family, fbits, slots in (("taffy_cuckoo", 10, 8),
                                  ("minimal_taffy_cuckoo", 9, 16)):
+        # cache: the probe reads the forest twice (params + broadcast
+        # collect) — without it each read is a full rebuild
         forest = build_filter_forest(build, "key", family,
                                      ndv=max(n_build, 1024), fpp=0.01,
                                      n_shards=8).cache()
-        forest.count()
         hits = probe_with_forest(absent, forest, "key") \
             .where("maybe_seen").count()
         measured = hits / max(n_absent, 1)

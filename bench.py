@@ -47,6 +47,15 @@ def main() -> None:
 
     spark = get_spark("libfilter-bench", cpus=cpus)
     spark.range(1 << 20).count()  # JVM warmup
+    import pandas as _pd
+
+    def _warm(batches):
+        for _ in batches:
+            pass
+        yield _pd.DataFrame({"n": [0]})
+    # warm the Python workers BEFORE the query loop so the first query
+    # doesn't absorb 32 worker startups into its recorded time
+    spark.range(1 << 16).mapInPandas(_warm, schema="n long").count()
 
     queries: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

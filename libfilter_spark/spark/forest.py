@@ -98,11 +98,12 @@ def probe_with_forest(df: DataFrame, forest_df: DataFrame,
     JVM-side, then reuse the grouped broadcast-probe (only key + shard
     cross the Arrow boundary)."""
     from .probe import probe_with_filters
-    n_shards = forest_df.agg(F.count("*")).collect()[0][0]
-    # n_shards from params is authoritative (some shards may be empty)
+    # n_shards from params is authoritative (some shards may be empty);
+    # one cheap first() action instead of a count aggregation
     row = forest_df.select("params").first()
-    if row is not None:
-        n_shards = json.loads(row["params"]).get("n_shards", n_shards)
+    if row is None:  # empty forest: nothing can match
+        return df.withColumn(result_col, F.lit(False))
+    n_shards = json.loads(row["params"])["n_shards"]
     probe = with_shard(df, key_col, int(n_shards))
     return probe_with_filters(probe, forest_df, [SHARD_COL], key_col,
                               result_col).drop(SHARD_COL)
