@@ -57,11 +57,18 @@ def main() -> None:
     # doesn't absorb 32 worker startups into its recorded time
     spark.range(1 << 16).mapInPandas(_warm, schema="n long").count()
 
+    # min-of-2 back-to-back trials per query (the reference's min-of-N
+    # methodology, taffy.tex:1787): this sandbox's CPU throttle swings
+    # identical single-shot work up to ~7x, so the minimum is the
+    # stable signal
     queries: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        queries[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        queries[name] = round(best, 3)
 
     extras: dict[str, float] = {}
     # --- filter build throughput (global block filter, fpp=0.004 like
@@ -186,6 +193,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "query_trials": 2,
         "sf": sf,
         "cpus": cpus,
         **extras,
