@@ -94,8 +94,48 @@ class StaticXorFilter:
 
     @classmethod
     def construct(cls, hashes: np.ndarray) -> "StaticXorFilter":
-        """Bulk build with 1%-growth retry loop (static.c:12-82).
-        ``hashes`` should be distinct uint64 keys."""
+        """Bulk build with 1%-growth retry loop (static.c:12-82),
+        round-vectorized peeling. ``hashes`` should be distinct uint64
+        keys.
+
+        The peel order differs from the C reference's one-at-a-time
+        stack (peel.h:75-106) — XOR-solve correctness is order-free
+        (every edge constraint is satisfied regardless of which valid
+        topological order assigns the bytes), and peel success/failure
+        is structural (a 2-core exists or it doesn't), so the retry
+        schedule and filter SIZE match C exactly while the byte
+        CONTENT may differ. ``construct_exact`` keeps the C
+        byte-parity path for the recorded anchors."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        n = len(h)
+        if n == 0:
+            return cls(np.zeros(8, dtype=np.uint8))
+        factor = 2.0 if n < 10 else (0.75 + 1.0 / math.log(math.log(n)))
+        size = int(factor * n)
+        size = (size + 7) // 8 * 8
+        while True:
+            verts, fps = make_edges(h, size)
+            rounds = _peel_rounds(n, size, verts)
+            if rounds is not None:
+                break
+            size = int(size * 1.01) + 1
+            size = (size + 7) // 8 * 8
+        xors = np.zeros(size, dtype=np.uint8)
+        # unpeel: reverse-round fingerprint assignment (peel.h:108-119
+        # semantics). Within a round every assigned vertex has degree
+        # exactly 1, so no edge has two same-round assignees and the
+        # gather-then-scatter below is race-free.
+        for e_r, v_r in reversed(rounds):
+            xors[v_r] = fps[e_r] ^ xors[verts[e_r, 0]] \
+                ^ xors[verts[e_r, 1]] ^ xors[verts[e_r, 2]]
+        return cls(xors)
+
+    @classmethod
+    def construct_exact(cls, hashes: np.ndarray) -> "StaticXorFilter":
+        """Sequential build byte-identical to the C reference
+        (static.c:12-82 + peel.h) including the degree-0 garbage-slot
+        assignments; kept for the recorded C parity anchors. Use
+        ``construct`` (round-vectorized) in pipelines."""
         h = np.asarray(hashes, dtype=np.uint64)
         n = len(h)
         if n == 0:
@@ -164,6 +204,43 @@ class StaticXorFilter:
 
     def __hash__(self):  # pragma: no cover
         return hash(self.serialize())
+
+
+def _peel_rounds(n_edges: int, m: int, verts: np.ndarray):
+    """Round-vectorized peeling: finds ALL degree-1 vertices per round
+    and peels their edges together (the loop runs over rounds —
+    O(log n) typical for random 3-ary hypergraphs — not over slots as
+    the C stack does, peel.h:75-106). Returns a list of per-round
+    (edge_ids, vertex_ids) arrays on success, None on a 2-core.
+
+    Per round: every candidate vertex has degree exactly 1, so
+    ``acc[v]`` IS its one remaining edge id. Several degree-1 vertices
+    may share an edge (an edge with 2-3 degree-1 endpoints); dedup
+    keeps one representative per edge — the losers drop to degree 0
+    and simply keep fingerprint byte 0, which stays consistent because
+    the representative's unpeel assignment is what satisfies that
+    edge's constraint."""
+    count = np.bincount(verts.ravel(), minlength=m)
+    acc = np.zeros(m, dtype=np.int64)  # xor of incident edge ids
+    eids = np.arange(n_edges, dtype=np.int64)
+    for j in range(ARITY):
+        np.bitwise_xor.at(acc, verts[:, j], eids)
+    rounds = []
+    peeled = 0
+    cand = np.flatnonzero(count == 1)
+    while len(cand):
+        e_r, first = np.unique(acc[cand], return_index=True)
+        v_r = cand[first]
+        rounds.append((e_r, v_r))
+        peeled += len(e_r)
+        touched = verts[e_r].ravel()
+        np.subtract.at(count, touched, 1)
+        np.bitwise_xor.at(acc, touched, np.repeat(e_r, ARITY))
+        tu = np.unique(touched)
+        cand = tu[count[tu] == 1]
+    if peeled != n_edges:
+        return None
+    return rounds
 
 
 def _peel(n_edges: int, m: int, verts: np.ndarray):
