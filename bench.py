@@ -85,23 +85,35 @@ def main() -> None:
     keys.mapInPandas(_noop, schema="n long").count()  # warm py workers
 
     build_s = float("inf")
-    blob_row = None
+    blob_rows = None
+    filters = None
     for _ in range(2):
         t0 = time.perf_counter()
         filters = build_filters(keys, group_cols=None, ndv=BUILD_KEYS,
                                 fpp=0.004)
-        blob_row = filters.collect()[0]
+        blob_rows = filters.collect()
         build_s = min(build_s, time.perf_counter() - t0)
     extras["build_block_keys_per_sec"] = round(BUILD_KEYS / build_s)
     extras["build_block_sec"] = round(build_s, 3)
-    extras["build_block_filter_bytes"] = len(blob_row["filter"])
+    extras["build_block_filter_bytes"] = sum(
+        len(r["filter"]) for r in blob_rows)
+    extras["build_block_strategy"] = (
+        "sharded" if "__shard" in filters.columns else "partials")
     queries["build_block_5m"] = round(build_s, 3)
 
     # --- probe throughput (broadcast + vectorized membership) ----------
-    filters_df = spark.createDataFrame(
-        [(blob_row["family"], blob_row["params"], blob_row["n_keys"],
-          blob_row["n_partials"], blob_row["filter"])],
-        "family string, params string, n_keys long, n_partials long, filter binary")
+    # a sharded build returns a MULTI-ROW block_slice frame — probe it
+    # as-is (probe_with_filters auto-routes shard frames); a partials
+    # build returns one mergeable row
+    if "__shard" in filters.columns:
+        filters_df = spark.createDataFrame(blob_rows, filters.schema)
+    else:
+        blob_row = blob_rows[0]
+        filters_df = spark.createDataFrame(
+            [(blob_row["family"], blob_row["params"], blob_row["n_keys"],
+              blob_row["n_partials"], blob_row["filter"])],
+            "family string, params string, n_keys long, n_partials long, "
+            "filter binary")
     probe_s = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()

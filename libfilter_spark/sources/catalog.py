@@ -40,9 +40,30 @@ def iceberg_catalog_conf(warehouse_dir: str,
     }
 
 
-def _warehouse_path(sf_dir: str, table: str) -> str:
-    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()) \
-        .hexdigest()[:12]
+def _source_fingerprint(sf_dir: str, source: str = "documents") -> str:
+    """Content-identity tag for the source parquet: abspath + per-file
+    (size, mtime_ns). Embedded in both the warehouse path and the
+    catalog table name so a different sf_dir — or a REGENERATED source
+    under the same path — can never be served a stale warehouse copy
+    or a stale same-session table registration (the round-3 ADVICE
+    medium finding)."""
+    src = os.path.join(os.path.abspath(sf_dir), f"{source}.parquet")
+    parts = [src]
+    if os.path.isdir(src):
+        for root, _, files in os.walk(src):
+            for fn in sorted(files):
+                try:
+                    st = os.stat(os.path.join(root, fn))
+                    parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+                except OSError:
+                    pass
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+
+
+def _warehouse_path(tag: str, table: str) -> str:
     return os.path.join(tempfile.gettempdir(),
                         f"libfilter_warehouse_{tag}", table)
 
@@ -52,9 +73,11 @@ def register_partitioned_documents(spark: SparkSession, sf_dir: str,
                                    partition_col: str = "lang") -> str:
     """Register the documents table in the session catalog as an
     external table partitioned by ``partition_col`` (hive-style
-    directory layout). Idempotent: the partitioned warehouse copy is
-    written once per sf_dir and re-registered per session (the
-    in-memory session catalog does not persist).
+    directory layout) and return the REGISTERED NAME — which embeds a
+    source fingerprint, so each (sf_dir, source content) pair gets its
+    own table and warehouse copy. Idempotent per fingerprint: the
+    partitioned copy is written once, the registration once per
+    session (the in-memory session catalog does not persist).
 
     At 100 TB this is the layout decision that makes per-language
     pipelines cheap: a `WHERE lang = 'python'` scan lists ONE
@@ -62,9 +85,11 @@ def register_partitioned_documents(spark: SparkSession, sf_dir: str,
     the same behavior an Iceberg partition spec provides, minus the
     snapshot/manifest metadata layer.
     """
+    tag = _source_fingerprint(sf_dir)
+    table = f"{table}_{tag}"
     if spark.catalog.tableExists(table):
         return table
-    path = _warehouse_path(sf_dir, table)
+    path = _warehouse_path(tag, table)
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         docs = load_table(spark, sf_dir, "documents")

@@ -122,17 +122,26 @@ def _result_schema(df: DataFrame, group_cols: list[str]) -> StructType:
 
 def build_filters(df: DataFrame, group_cols: list[str] | None,
                   key_col: str = "key", family: str = "block",
-                  ndv: int = 1 << 20, fpp: float = 0.01) -> DataFrame:
+                  ndv: int = 1 << 20, fpp: float = 0.01,
+                  strategy: str | None = None) -> DataFrame:
     """Build one filter per group over ``df[key_col]`` (int64 two's-
     complement uint64 keys or 8-byte binary).
 
     Returns a small DataFrame: group_cols + (family, params, n_keys,
     n_partials, filter). ``ndv`` is the per-group capacity hint: exact
     size for the fixed-size block family, level-0 seed for the taffy
-    families (which grow past it freely).
+    families (which grow past it freely). ``strategy`` overrides the
+    size-based router (callers that must receive a single mergeable
+    row per group — e.g. streaming state folds — pin ``partials``,
+    since ``sharded`` returns a multi-row block_slice shard frame).
     """
     group_cols = list(group_cols or [])
-    strategy = select_build_strategy(family, bool(group_cols), ndv, fpp)
+    if strategy is None:
+        strategy = select_build_strategy(family, bool(group_cols), ndv, fpp)
+    elif strategy not in ("partials", "sharded", "grouped_bulk"):
+        raise ValueError(f"unknown build strategy {strategy!r}")
+    if family == "static_xor":
+        strategy = "grouped_bulk"  # construct needs all keys in one task
     if strategy == "grouped_bulk":
         return _build_grouped(df, group_cols, key_col, family, ndv, fpp)
     if strategy == "sharded":

@@ -98,15 +98,10 @@ def probe_with_forest(df: DataFrame, forest_df: DataFrame,
     JVM-side, then reuse the grouped broadcast-probe (only key + shard
     cross the Arrow boundary)."""
     from .probe import probe_with_filters
-    # n_shards from params is authoritative (some shards may be empty);
-    # one cheap first() action instead of a count aggregation
-    row = forest_df.select("params").first()
-    if row is None:  # empty forest: nothing can match
-        return df.withColumn(result_col, F.lit(False))
-    n_shards = json.loads(row["params"])["n_shards"]
-    probe = with_shard(df, key_col, int(n_shards))
-    return probe_with_filters(probe, forest_df, [SHARD_COL], key_col,
-                              result_col).drop(SHARD_COL)
+    # delegates to the auto-route, which collects the forest exactly
+    # once (params + blobs in one job) and derives n_shards from the
+    # authoritative params row
+    return probe_with_filters(df, forest_df, None, key_col, result_col)
 
 
 def forest_semi_join(probe_df: DataFrame, build_df: DataFrame,

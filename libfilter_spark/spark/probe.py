@@ -44,6 +44,34 @@ def collect_filters(filters_df: DataFrame, group_cols: list[str]) -> dict:
             for r in rows}
 
 
+# broadcast-probe budget: past this many bytes of collected filter
+# blobs the driver hop (collect + sc.broadcast) becomes the chokepoint
+# (10^5 groups x MB blobs), and the probe switches to a shuffle
+# cogroup — filters stay distributed, probe keys shuffle to them.
+_BROADCAST_MAX = int(os.environ.get("LIBFILTER_BROADCAST_MAX", 256 << 20))
+
+
+def _collect_filters_bounded(filters_df: DataFrame,
+                             group_cols: list[str],
+                             budget: int) -> dict | None:
+    """Collect like ``collect_filters`` but abort once the blob bytes
+    exceed ``budget`` → None (caller falls back to the shuffle probe).
+    Uses toLocalIterator so the driver never holds more than
+    budget + one partition of rows; upstream shuffle outputs are
+    reused across the per-partition jobs."""
+    out: dict = {}
+    total = 0
+    it = filters_df.select(*group_cols, "family", "filter") \
+        .toLocalIterator(prefetchPartitions=True)
+    for r in it:
+        blob = bytes(r["filter"])
+        total += len(blob)
+        if total > budget:
+            return None
+        out[tuple(r[c] for c in group_cols)] = (r["family"], blob)
+    return out
+
+
 def _block_via_shm(token: str, g, blob: bytes):
     """Write the blob once to /dev/shm (atomic rename; first writer
     wins) and back the BlockFilter with a read-only memmap."""
@@ -99,7 +127,9 @@ def _materialize(bc) -> dict:
 def probe_with_filters(df: DataFrame, filters_df: DataFrame,
                        group_cols: list[str] | None,
                        key_col: str = "key",
-                       result_col: str = "maybe_seen") -> DataFrame:
+                       result_col: str = "maybe_seen",
+                       via: str = "auto",
+                       _collected: dict | None = None) -> DataFrame:
     """Add a boolean ``result_col``: does ``key_col`` hit the group's
     filter? Rows whose group has no filter get False. Keys may be
     int64 (two's-complement uint64) or 8-byte binary.
@@ -113,18 +143,41 @@ def probe_with_filters(df: DataFrame, filters_df: DataFrame,
     frame (block shards / filter forest — one row per shard with a
     ``__shard`` column) auto-routes each key to its shard with the
     build's JVM-side formula, so callers don't care whether the build
-    chose the single-blob or the sharded scale path."""
+    chose the single-blob or the sharded scale path. The shard frame
+    is collected ONCE here (params + blobs in the same pass) — not
+    first()-then-recollected per hop.
+
+    ``via``: ``broadcast`` collects the filters to the driver and
+    broadcasts (the fast path while blobs fit); ``shuffle`` keeps the
+    filters distributed and cogroups probe keys with them (the 100 TB
+    many-groups path — driver memory stays flat); ``auto`` broadcasts
+    up to $LIBFILTER_BROADCAST_MAX collected bytes (256 MB default),
+    then falls back to shuffle."""
     group_cols = list(group_cols or [])
+    if via not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown probe route {via!r}")
     if not group_cols and "__shard" in filters_df.columns:
         import json as _json
-        row = filters_df.select("params").first()
-        routing = _json.loads(row["params"]).get("routing") if row else None
-        if routing == "bucket_range":
-            from .sharded import probe_with_block_shards
-            return probe_with_block_shards(df, filters_df, key_col,
-                                           result_col)
-        from .forest import probe_with_forest
-        return probe_with_forest(df, filters_df, key_col, result_col)
+        rows = filters_df.select("__shard", "params", "family",
+                                 "filter").collect()
+        if not rows:  # empty build side: nothing can match
+            return df.withColumn(result_col, F.lit(False))
+        p = _json.loads(rows[0]["params"])
+        collected = {(int(r["__shard"]),): (r["family"], bytes(r["filter"]))
+                     for r in rows}
+        if p.get("routing") == "bucket_range":
+            from .sharded import SHARD_COL, with_block_shard
+            probe = with_block_shard(df, key_col, int(p["num_buckets"]),
+                                     int(p["n_shards"]))
+        else:
+            from .forest import SHARD_COL, with_shard
+            probe = with_shard(df, key_col, int(p["n_shards"]))
+        return probe_with_filters(probe, filters_df, [SHARD_COL], key_col,
+                                  result_col,
+                                  _collected=collected).drop(SHARD_COL)
+    if via == "shuffle":
+        return _probe_via_cogroup(df, filters_df, group_cols, key_col,
+                                  result_col)
     spark = df.sparkSession
     import uuid
 
@@ -133,8 +186,17 @@ def probe_with_filters(df: DataFrame, filters_df: DataFrame,
 
     from ..kernels.keys import keys_and_valid_from_arrow
 
-    bc = spark.sparkContext.broadcast(
-        (uuid.uuid4().hex, collect_filters(filters_df, group_cols)))
+    if _collected is not None:
+        filter_map = _collected
+    elif via == "broadcast":
+        filter_map = collect_filters(filters_df, group_cols)
+    else:
+        filter_map = _collect_filters_bounded(filters_df, group_cols,
+                                              _BROADCAST_MAX)
+        if filter_map is None:  # over budget → keep filters distributed
+            return _probe_via_cogroup(df, filters_df, group_cols,
+                                      key_col, result_col)
+    bc = spark.sparkContext.broadcast((uuid.uuid4().hex, filter_map))
 
     if group_cols:
         def probe(*cols):
@@ -175,6 +237,61 @@ def probe_with_filters(df: DataFrame, filters_df: DataFrame,
     udf = arrow_udf(probe_global, "boolean",
                     ArrowUDFType.SCALAR).asNondeterministic()
     return df.withColumn(result_col, udf(F.col(key_col)))
+
+
+def _probe_via_cogroup(df: DataFrame, filters_df: DataFrame,
+                       group_cols: list[str], key_col: str,
+                       result_col: str) -> DataFrame:
+    """Shuffle probe — the many-groups scale path. The filter blobs
+    never visit the driver: distinct (group, key) pairs cogroup with
+    the filters frame on the group key, each task probes one group's
+    keys against that group's blob, and the boolean equi-joins back.
+    Driver memory stays flat at any number of groups; the price is a
+    shuffle of the distinct probe keys plus the join — the right trade
+    exactly when groups × blob bytes outgrow a broadcast."""
+    import pyarrow as pa
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    from ..kernels.keys import keys_and_valid_from_arrow
+
+    gcols = list(group_cols) or ["__g"]
+    if group_cols:
+        probe_keys = df.select(*group_cols, key_col)
+        fdf = filters_df
+    else:
+        probe_keys = df.select(key_col).withColumn("__g", F.lit(0))
+        fdf = filters_df.withColumn("__g", F.lit(0))
+    probe_keys = probe_keys.where(F.col(key_col).isNotNull()) \
+        .dropDuplicates(gcols + [key_col])
+    out_schema = StructType(
+        [probe_keys.schema[c] for c in gcols + [key_col]]
+        + [StructField(result_col, BooleanType())])
+
+    def probe_group(left: "pa.Table", right: "pa.Table") -> "pa.Table":
+        if left.num_rows == 0:
+            res = np.zeros(0, dtype=bool)
+        else:
+            keys, valid = keys_and_valid_from_arrow(left.column(key_col))
+            res = np.zeros(len(keys), dtype=bool)
+            for fam, blob in zip(right.column("family").to_pylist(),
+                                 right.column("filter").to_pylist()):
+                f = FAMILIES[fam].deserialize(blob)
+                res |= f.find_hashes(keys)
+            res &= valid
+        cols = {c: left.column(c) for c in gcols + [key_col]}
+        cols[result_col] = pa.array(res)
+        return pa.table(cols)
+
+    probed = (probe_keys.groupBy(*gcols)
+              .cogroup(fdf.groupBy(*gcols))
+              .applyInArrow(probe_group, schema=out_schema))
+    if group_cols:
+        joined = df.join(probed, on=group_cols + [key_col], how="left")
+    else:
+        joined = df.join(probed.drop("__g"), on=key_col, how="left")
+    # rows whose group has no filter, or whose key is null, get False
+    return joined.withColumn(result_col,
+                             F.coalesce(F.col(result_col), F.lit(False)))
 
 
 def filter_semi_join(probe_df: DataFrame, build_df: DataFrame,

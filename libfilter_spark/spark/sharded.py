@@ -119,10 +119,14 @@ def build_block_shards(df: DataFrame, key_col: str = "key",
 
     # the shard column exists only to drive the repartition; it is a
     # pure function of the key, so it does NOT cross into Python —
-    # only the 8-byte key column goes through Arrow
-    routed = with_block_shard(df.select(key_col), key_col, num_buckets,
-                              n_shards).repartition(n_shards, SHARD_COL) \
-        .select(key_col)
+    # only the 8-byte key column goes through Arrow. Null keys are
+    # dropped to stay byte-identical with the jvm engine (which
+    # filters IS NOT NULL): keys_from_arrow would otherwise map a null
+    # to key 0 and set a spurious membership bit.
+    routed = with_block_shard(
+        df.select(key_col).where(F.col(key_col).isNotNull()),
+        key_col, num_buckets, n_shards) \
+        .repartition(n_shards, SHARD_COL).select(key_col)
 
     def build_slice(batches):
         # mapInArrow, not mapInPandas: the pandas conversion would
@@ -290,16 +294,11 @@ def probe_with_block_shards(df: DataFrame, shards_df: DataFrame,
                             result_col: str = "maybe_seen") -> DataFrame:
     """Membership probe against a shard frame: derive the shard column
     JVM-side with the build's routing formula, then the grouped
-    broadcast probe (only key + shard cross the Arrow boundary)."""
+    broadcast probe (only key + shard cross the Arrow boundary).
+    Delegates to probe_with_filters' auto-route, which collects the
+    shard frame exactly ONCE (params + blobs in one job)."""
     from .probe import probe_with_filters
-    row = shards_df.select("params").first()
-    if row is None:  # empty build side: nothing can match
-        return df.withColumn(result_col, F.lit(False))
-    p = json.loads(row["params"])
-    probe = with_block_shard(df, key_col, int(p["num_buckets"]),
-                             int(p["n_shards"]))
-    return probe_with_filters(probe, shards_df, [SHARD_COL], key_col,
-                              result_col).drop(SHARD_COL)
+    return probe_with_filters(df, shards_df, None, key_col, result_col)
 
 
 def assemble_block_shards(shards_df: DataFrame) -> bytes:

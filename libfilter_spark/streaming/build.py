@@ -61,8 +61,13 @@ def stream_build_filters(stream_df: DataFrame, group_cols: list[str] | None,
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # pin the partials strategy: the size router may pick `sharded`
+        # for big global block builds, which returns a MULTI-ROW
+        # block_slice shard frame — not unionByName/merge-compatible
+        # with the single-row-per-group state this fold maintains
         batch_filters = build_filters(batch_df, group_cols, key_col,
-                                      family=family, ndv=ndv, fpp=fpp)
+                                      family=family, ndv=ndv, fpp=fpp,
+                                      strategy="partials")
         prev = read_state(spark, state_dir)
         if prev is not None:
             merged = merge_filter_blobs(

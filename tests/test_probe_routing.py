@@ -1,0 +1,115 @@
+"""Probe routing: broadcast vs shuffle-cogroup equivalence, the
+auto-budget fallback, and engine null-key parity (round-4 items)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from libfilter_spark.spark.build import build_filters
+from libfilter_spark.spark.keys import with_content_key_bin
+from libfilter_spark.spark.probe import probe_with_filters
+
+
+@pytest.fixture(scope="module")
+def grouped_setup(spark):
+    build = spark.range(2_000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.col("id").cast("string").alias("content"))
+    build_keys = with_content_key_bin(build, "content") \
+        .select("g", "key")
+    filters = build_filters(build_keys, ["g"], ndv=1_000, fpp=0.01)
+    filters.cache().count()
+    probe = spark.range(3_000).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        F.col("id").cast("string").alias("content"))
+    probe_keys = with_content_key_bin(probe, "content") \
+        .select("g", "key", "content")
+    # add a null-key row (must be a non-member, not a crash)
+    null_row = spark.createDataFrame(
+        [("0", None, "nullkey")], probe_keys.schema)
+    return filters, probe_keys.unionByName(null_row)
+
+
+def _result_map(df):
+    return {(r["g"], r["content"]): r["maybe_seen"] for r in df.collect()}
+
+
+def test_probe_shuffle_equals_broadcast(spark, grouped_setup):
+    filters, probe = grouped_setup
+    via_b = _result_map(probe_with_filters(probe, filters, ["g"],
+                                           via="broadcast"))
+    via_s = _result_map(probe_with_filters(probe, filters, ["g"],
+                                           via="shuffle"))
+    assert via_b == via_s
+    assert len(via_b) == 3_001
+    # zero FN: every build key in a surviving group must be seen
+    assert all(v for (g, c), v in via_b.items()
+               if g in "0123" and c.isdigit()
+               and int(c) < 2_000 and int(c) % 4 == int(g))
+    assert via_b[("0", "nullkey")] is False
+
+
+def test_probe_auto_budget_falls_back_to_shuffle(spark, grouped_setup,
+                                                 monkeypatch):
+    import libfilter_spark.spark.probe as P
+    filters, probe = grouped_setup
+    expect = _result_map(probe_with_filters(probe, filters, ["g"],
+                                            via="broadcast"))
+    monkeypatch.setattr(P, "_BROADCAST_MAX", 8)  # force overflow
+    got = _result_map(probe_with_filters(probe, filters, ["g"],
+                                         via="auto"))
+    assert got == expect
+
+
+def test_probe_global_shuffle_route(spark):
+    build = spark.range(1_000).select(
+        F.col("id").cast("string").alias("content"))
+    keys = with_content_key_bin(build, "content").select("key")
+    filters = build_filters(keys, None, ndv=1_000, fpp=0.01)
+    filters.cache().count()
+    probe = spark.range(2_000).select(
+        F.col("id").cast("string").alias("content"))
+    probe_keys = with_content_key_bin(probe, "content") \
+        .select("key", "content")
+    b = {r["content"]: r["maybe_seen"]
+         for r in probe_with_filters(probe_keys, filters, None,
+                                     via="broadcast").collect()}
+    s = {r["content"]: r["maybe_seen"]
+         for r in probe_with_filters(probe_keys, filters, None,
+                                     via="shuffle").collect()}
+    assert b == s and len(b) == 2_000
+    assert all(b[str(i)] for i in range(1_000))
+
+
+def test_sharded_engines_agree_on_null_keys(spark):
+    """Round-3 ADVICE low: the arrow engine must drop null keys like
+    the jvm engine (no spurious key-0 membership bit)."""
+    from libfilter_spark.spark.sharded import build_block_shards
+    base = spark.range(5_000).select(
+        F.col("id").cast("string").alias("content"))
+    keys = with_content_key_bin(base, "content").select("key")
+    nulls = spark.createDataFrame([(None,), (None,)], keys.schema)
+    with_nulls = keys.unionByName(nulls)
+    frames = {}
+    for engine in ("jvm", "arrow"):
+        sh = build_block_shards(with_nulls, ndv=5_000, fpp=0.01,
+                                n_shards=4, engine=engine)
+        frames[engine] = {r["__shard"]: (bytes(r["filter"]), r["n_keys"])
+                          for r in sh.collect()}
+    assert frames["jvm"] == frames["arrow"]
+    assert sum(n for _, n in frames["jvm"].values()) == 5_000
+
+
+def test_build_strategy_override_pins_partials(spark, monkeypatch):
+    """Round-3 ADVICE low (streaming): strategy='partials' must yield a
+    single mergeable row even when the size router would go sharded."""
+    monkeypatch.setenv("LIBFILTER_SHARDED_MIN", "1024")
+    base = spark.range(2_000).select(
+        F.col("id").cast("string").alias("content"))
+    keys = with_content_key_bin(base, "content").select("key")
+    routed = build_filters(keys, None, ndv=2_000_000, fpp=0.004)
+    assert "__shard" in routed.columns  # router picks sharded
+    pinned = build_filters(keys, None, ndv=2_000_000, fpp=0.004,
+                           strategy="partials")
+    assert "__shard" not in pinned.columns
+    rows = pinned.collect()
+    assert len(rows) == 1 and rows[0]["family"] == "block"

@@ -92,3 +92,30 @@ def test_catalog_partition_pruning(spark):
     assert df.count() == expect
     # registration is idempotent within the session
     assert register_partitioned_documents(spark, sf) == table
+
+
+def test_catalog_sf_dir_and_regeneration_not_stale(spark, tmp_path):
+    """Round-3 ADVICE medium: the registered table name embeds a
+    source fingerprint, so (a) two sf_dirs in one session get distinct
+    tables and (b) regenerating documents.parquet under the SAME path
+    yields a fresh table + warehouse copy, never stale data."""
+    from libfilter_spark.sources.catalog import \
+        register_partitioned_documents
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    schema = "doc_id long, lang string, text string"
+    for d, lang in ((d1, "en"), (d2, "fr")):
+        spark.createDataFrame([(i, lang, "t" * 5) for i in range(10)],
+                              schema) \
+            .write.parquet(f"{d}/documents.parquet")
+    t1 = register_partitioned_documents(spark, d1)
+    t2 = register_partitioned_documents(spark, d2)
+    assert t1 != t2
+    assert spark.table(t1).select("lang").distinct().head()[0] == "en"
+    assert spark.table(t2).select("lang").distinct().head()[0] == "fr"
+    # regenerate d1's source in place -> new fingerprint, fresh data
+    spark.createDataFrame([(i, "de", "x") for i in range(7)], schema) \
+        .write.mode("overwrite").parquet(f"{d1}/documents.parquet")
+    t3 = register_partitioned_documents(spark, d1)
+    assert t3 != t1
+    assert spark.table(t3).count() == 7
+    assert spark.table(t3).select("lang").distinct().head()[0] == "de"
