@@ -88,7 +88,13 @@ def select_build_strategy(family: str, grouped: bool, ndv: int,
         return "grouped_bulk"
     if threshold is None:
         import os
-        threshold = int(os.environ.get("LIBFILTER_SHARDED_MIN", 32 << 20))
+        # 4 MB default (was 32 MB): the sharded path beat partials at
+        # every measured size down to ~1.5 MB filters (5M keys/7.5 MB:
+        # 1.8-2.2 s sharded vs 2.78 s partials, local[32] in-process
+        # A/B), and the shard-frame probe assembles per-worker so probe
+        # speed matches the single blob. Below 4 MB the single
+        # mergeable row is kept for its streaming/merge semantics.
+        threshold = int(os.environ.get("LIBFILTER_SHARDED_MIN", 4 << 20))
     if estimate_filter_bytes(family, ndv, fpp) >= threshold:
         if grouped:
             return "grouped_bulk"

@@ -51,25 +51,58 @@ def collect_filters(filters_df: DataFrame, group_cols: list[str]) -> dict:
 _BROADCAST_MAX = int(os.environ.get("LIBFILTER_BROADCAST_MAX", 256 << 20))
 
 
-def _collect_filters_bounded(filters_df: DataFrame,
-                             group_cols: list[str],
-                             budget: int) -> dict | None:
-    """Collect like ``collect_filters`` but abort once the blob bytes
-    exceed ``budget`` → None (caller falls back to the shuffle probe).
-    Uses toLocalIterator so the driver never holds more than
-    budget + one partition of rows; upstream shuffle outputs are
-    reused across the per-partition jobs."""
-    out: dict = {}
+def _collect_filters_auto(filters_df: DataFrame,
+                          group_cols: list[str]) -> dict | None:
+    """auto-mode collect policy (None ⇒ over budget, caller falls back
+    to the shuffle probe):
+
+    - cached or ≤8-partition frames: plain collect() — one job.
+      toLocalIterator on a CACHED 32-partition frame was measured at
+      3.0 s of sequential mini-jobs vs 0.25 s collect; local/tiny
+      frames (bench, re-probes) must not pay that.
+    - uncached multi-partition frames: budgeted toLocalIterator — the
+      recompute dominates there (measured 1.16 s iterator vs 1.37 s
+      collect on an uncached grouped build), upstream shuffle outputs
+      are reused across the per-partition jobs, and driver memory
+      stays bounded by the budget at ANY group count."""
+    sl = filters_df.storageLevel
+    if (sl.useMemory or sl.useDisk) \
+            or filters_df.rdd.getNumPartitions() <= 8:
+        out = collect_filters(filters_df, group_cols)
+        if sum(len(b) for _, b in out.values()) > _BROADCAST_MAX:
+            import warnings
+            warnings.warn(
+                "collected filter blobs exceed LIBFILTER_BROADCAST_MAX; "
+                "falling back to the shuffle probe — pass via='shuffle' "
+                "(or cache less) to skip the driver collect entirely")
+            return None
+        return out
+    out = {}
     total = 0
     it = filters_df.select(*group_cols, "family", "filter") \
         .toLocalIterator(prefetchPartitions=True)
     for r in it:
         blob = bytes(r["filter"])
         total += len(blob)
-        if total > budget:
+        if total > _BROADCAST_MAX:
             return None
         out[tuple(r[c] for c in group_cols)] = (r["family"], blob)
     return out
+
+
+def _assembled_block_bytes(slice_blobs: list[bytes]) -> bytes:
+    """Concatenate disjoint block_slice blobs into the raw LE-u32 byte
+    array of the GLOBAL filter (missing shards = zero ranges = no keys),
+    byte-identical to assemble_block_shards' export."""
+    from ..filters.block import BlockSliceFilter
+    slices = [BlockSliceFilter.deserialize(b) for b in slice_blobs]
+    nb = slices[0].num_buckets
+    out = bytearray(nb * 32)
+    for sl in slices:
+        off = sl.lo * 32
+        blob = sl.state.astype("<u4", copy=False).tobytes()
+        out[off:off + len(blob)] = blob
+    return bytes(out)
 
 
 def _block_via_shm(token: str, g, blob: bytes):
@@ -111,6 +144,11 @@ def _materialize(bc) -> dict:
         cached = {}
         use_shm = os.path.isdir("/dev/shm")
         for g, (fam, blob) in filter_map.items():
+            if fam == "block_slice_set":
+                # shard-frame fast path: assemble the disjoint slices
+                # into ONE BlockFilter per worker (plain global probe —
+                # no shard column, no per-batch groupby)
+                fam, blob = "block", _assembled_block_bytes(blob)
             if fam == "block" and use_shm and len(blob) >= _SHM_MIN_BYTES:
                 try:
                     cached[g] = _block_via_shm(token, g, blob)
@@ -122,6 +160,17 @@ def _materialize(bc) -> dict:
             _FILTER_CACHE.pop(next(iter(_FILTER_CACHE)))
         _FILTER_CACHE[token] = cached
     return cached
+
+
+def _with_route_shard(df: DataFrame, key_col: str, p: dict) -> DataFrame:
+    """Attach a shard frame's routing column to the probe side using
+    the params row's authoritative routing formula."""
+    if p.get("routing") == "bucket_range":
+        from .sharded import with_block_shard
+        return with_block_shard(df, key_col, int(p["num_buckets"]),
+                                int(p["n_shards"]))
+    from .forest import with_shard
+    return with_shard(df, key_col, int(p["n_shards"]))
 
 
 def probe_with_filters(df: DataFrame, filters_df: DataFrame,
@@ -156,22 +205,43 @@ def probe_with_filters(df: DataFrame, filters_df: DataFrame,
     group_cols = list(group_cols or [])
     if via not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"unknown probe route {via!r}")
-    if not group_cols and "__shard" in filters_df.columns:
+    if not group_cols and "__shard" in filters_df.columns \
+            and _collected is None:
         import json as _json
+        if via == "shuffle":
+            row = filters_df.select("params").first()
+            if row is None:
+                return df.withColumn(result_col, F.lit(False))
+            p = _json.loads(row["params"])
+            probe = _with_route_shard(df, key_col, p)
+            shard_col = "__shard"
+            return _probe_via_cogroup(probe, filters_df, [shard_col],
+                                      key_col, result_col).drop(shard_col)
         rows = filters_df.select("__shard", "params", "family",
                                  "filter").collect()
         if not rows:  # empty build side: nothing can match
             return df.withColumn(result_col, F.lit(False))
         p = _json.loads(rows[0]["params"])
+        total = sum(len(r["filter"]) for r in rows)
+        if via == "auto" and total > _BROADCAST_MAX:
+            probe = _with_route_shard(df, key_col, p)
+            shard_col = "__shard"
+            return _probe_via_cogroup(probe, filters_df, [shard_col],
+                                      key_col, result_col).drop(shard_col)
+        if p.get("routing") == "bucket_range":
+            # worker-side slice assembly: the grouped shard probe pays
+            # a JVM shard column + per-batch pandas groupby; assembling
+            # the disjoint slices into one filter per worker and doing
+            # a PLAIN global probe was measured ~1.5x faster (1.07 s vs
+            # 1.57 s at 5M keys) — same bytes broadcast either way
+            collected = {(): ("block_slice_set",
+                              [bytes(r["filter"]) for r in rows])}
+            return probe_with_filters(df, filters_df, [], key_col,
+                                      result_col, _collected=collected)
+        from .forest import SHARD_COL, with_shard
         collected = {(int(r["__shard"]),): (r["family"], bytes(r["filter"]))
                      for r in rows}
-        if p.get("routing") == "bucket_range":
-            from .sharded import SHARD_COL, with_block_shard
-            probe = with_block_shard(df, key_col, int(p["num_buckets"]),
-                                     int(p["n_shards"]))
-        else:
-            from .forest import SHARD_COL, with_shard
-            probe = with_shard(df, key_col, int(p["n_shards"]))
+        probe = with_shard(df, key_col, int(p["n_shards"]))
         return probe_with_filters(probe, filters_df, [SHARD_COL], key_col,
                                   result_col,
                                   _collected=collected).drop(SHARD_COL)
@@ -191,8 +261,7 @@ def probe_with_filters(df: DataFrame, filters_df: DataFrame,
     elif via == "broadcast":
         filter_map = collect_filters(filters_df, group_cols)
     else:
-        filter_map = _collect_filters_bounded(filters_df, group_cols,
-                                              _BROADCAST_MAX)
+        filter_map = _collect_filters_auto(filters_df, group_cols)
         if filter_map is None:  # over budget → keep filters distributed
             return _probe_via_cogroup(df, filters_df, group_cols,
                                       key_col, result_col)

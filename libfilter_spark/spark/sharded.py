@@ -89,17 +89,21 @@ def build_block_shards(df: DataFrame, key_col: str = "key",
     ``assemble_block_shards``.
 
     engine:
-    - ``jvm`` (the ``auto`` default): the scatter-OR insert runs as a
-      whole-stage-codegen ``groupBy(bucket).agg(bit_or(...))`` — mask
-      and bucket are Spark integer expressions (the exact block.h
-      math; byte-identity asserted in tests), map-side partial bit_or
-      combines before the shuffle, and only ~40 B per NONZERO BUCKET
-      ever crosses into Python (slice assembly), not 12 B per key.
-      Measured +15% over the arrow engine at local[32] on 20M keys,
-      and it frees Python workers entirely from the hot loop.
+    - ``jvm``: the scatter-OR insert runs as a whole-stage-codegen
+      ``groupBy(bucket).agg(bit_or(...))`` — mask and bucket are Spark
+      integer expressions (the exact block.h math; byte-identity
+      asserted in tests), map-side partial bit_or combines before the
+      shuffle, and only ~40 B per NONZERO BUCKET ever crosses into
+      Python (slice assembly), not 12 B per key. It frees Python
+      workers entirely from the hot loop.
     - ``arrow``: route keys by shard JVM-side, stream them into Python
       (mapInArrow, zero-copy) and scatter with numpy. Simpler plan
       (one shuffle), same bytes out.
+    - ``auto``: picks by size. In-process A/B at local[32]: arrow wins
+      at ≤5M keys (1.82 s vs 2.24 s at 5M — the jvm engine pays two
+      shuffles of fixed overhead), jvm wins at 20M (6.44 s vs 7.51 s —
+      codegen amortizes, Python allocator pressure grows); the
+      crossover sits near 10M.
     """
     spark = df.sparkSession
     num_buckets = max(1, block_bytes_needed(ndv, fpp) // BUCKET_BYTES)
@@ -111,7 +115,9 @@ def build_block_shards(df: DataFrame, key_col: str = "key",
                          "num_buckets": int(num_buckets),
                          "n_shards": int(n_shards),
                          "routing": "bucket_range"})
-    if engine in ("auto", "jvm"):
+    if engine == "auto":
+        engine = "jvm" if ndv >= 10_000_000 else "arrow"
+    if engine == "jvm":
         return _build_block_shards_jvm(df, key_col, num_buckets,
                                        n_shards, bounds, params)
     if engine != "arrow":

@@ -241,3 +241,45 @@ def test_mtcf_forest_build_probe(spark):
     n_fp = probe_with_forest(akeys, forest, "key") \
         .where("maybe_seen").count()
     assert n_fp / n < 0.03
+
+
+def test_default_threshold_routes_5m_sharded():
+    """Round-4: default LIBFILTER_SHARDED_MIN dropped 32 MB -> 4 MB
+    (sharded beat partials at every measured size; probe assembles
+    slices per worker so probe speed matches the single blob)."""
+    import os
+
+    from libfilter_spark.spark.build import select_build_strategy
+    assert "LIBFILTER_SHARDED_MIN" not in os.environ
+    assert select_build_strategy("block", False, 5_000_000, 0.004) == \
+        "sharded"
+    assert select_build_strategy("block", False, 1_000_000, 0.004) == \
+        "partials"
+
+
+def test_shard_frame_probe_assembles_per_worker(spark):
+    """The auto-routed probe of a block shard frame must equal the
+    grouped shard probe AND the assembled-blob probe (worker-side
+    assembly fast path)."""
+    from libfilter_spark.spark.build import build_filters
+    from libfilter_spark.spark.probe import probe_with_filters
+    n = 30_000
+    df = spark.range(n).withColumn("content", F.col("id").cast("string"))
+    keys = with_content_key_bin(df, "content").select("key")
+    sh = build_block_shards_mod = __import__(
+        "libfilter_spark.spark.sharded", fromlist=["build_block_shards"]
+    ).build_block_shards(keys, ndv=n, fpp=0.01, n_shards=8)
+    sh.cache().count()
+    probe_df = spark.range(2 * n).withColumn(
+        "content", F.col("id").cast("string"))
+    probe_keys = with_content_key_bin(probe_df, "content") \
+        .select("key", "content")
+    got = {r["content"]: r["maybe_seen"]
+           for r in probe_with_filters(probe_keys, sh, None).collect()}
+    assert all(got[str(i)] for i in range(n))  # zero FN
+    # shuffle route agrees
+    got_s = {r["content"]: r["maybe_seen"]
+             for r in probe_with_filters(probe_keys, sh, None,
+                                         via="shuffle").collect()}
+    assert got == got_s
+    sh.unpersist()
