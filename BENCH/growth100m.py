@@ -1,0 +1,152 @@
+"""Reference headline config at the reference's own scale: the growth
+sweep at ndv = 10^8 (BASELINE.md §A; cpp/extras/benchmarks/bench.cpp,
+BENCHMARKING.md:4-6 — block fpp 0.4%, taffy families grown from tiny).
+
+Per family, 100M sha256-derived keys go through the DISTRIBUTED
+pipeline (sharded block build / filter forest with GROWN-FROM-TINY
+shards — the taffy growth schedule is the thing being measured, so
+shards must not be pre-sized), then 100M disjoint absent keys measure
+fpp against the published column:
+
+    block 0.0040   taffy_cuckoo 0.00226   taffy_block 0.00371
+    minimal_taffy_cuckoo 0.00789        (i7-7800X file, last samples)
+
+Writes BENCH/growth100m.json: per family measured fpp (with binomial
+sigma), build/probe keys/s at local[32], and core-ns/key beside the
+reference's single-thread ns/key.
+
+Usage: python BENCH/growth100m.py  (takes ~10-20 min; machine idle —
+this sandbox's CPU throttle poisons concurrent measurements)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N = int(os.environ.get("SPARK_GRAFT_GROWTH_KEYS", 100_000_000))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+
+# published reference numbers at ~100M (doc/taffy all-bench i7 file,
+# last samples; see BASELINE.md §A)
+PUBLISHED = {
+    "block": {"fpp": 0.0040, "insert_ns": 28.9, "lookup_ns": 86.5},
+    "taffy_cuckoo": {"fpp": 0.00226, "insert_ns": 181.0,
+                     "lookup_ns": 218.0},
+    "taffy_block": {"fpp": 0.00371, "insert_ns": 78.0,
+                    "lookup_ns": 255.0},
+    "minimal_taffy_cuckoo": {"fpp": 0.00789, "insert_ns": None,
+                             "lookup_ns": None},
+}
+
+
+def main() -> None:
+    # taffy forests at 100M exceed the default broadcast budget; the
+    # box has 128 GiB, so raise it for this measurement (the shuffle
+    # probe fallback works too, but the broadcast probe is the config
+    # every other number in BENCH uses)
+    os.environ.setdefault("LIBFILTER_BROADCAST_MAX", str(2 << 30))
+    from pyspark.sql import functions as F
+
+    from libfilter_spark.spark.forest import build_filter_forest
+    from libfilter_spark.spark.keys import with_content_key_bin
+    from libfilter_spark.spark.probe import probe_with_filters
+    from libfilter_spark.spark.session import get_spark
+    from libfilter_spark.spark.sharded import build_block_shards
+
+    spark = get_spark("growth100m", cpus=CPUS,
+                      shuffle_partitions=2 * CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1 << 22).count()
+
+    def keyed(lo: int, hi: int):
+        df = (spark.range(lo, hi, numPartitions=2 * CPUS)
+              .withColumn("content", F.col("id").cast("string")))
+        return with_content_key_bin(df, "content").select("key")
+
+    present = keyed(0, N)
+    absent = keyed(N, 2 * N)
+    present.count()
+    absent.count()
+    import pandas as pd
+
+    def _noop(batches):
+        for _ in batches:
+            pass
+        yield pd.DataFrame({"n": [0]})
+    present.mapInPandas(_noop, schema="n long").count()
+
+    out = {"metric": "growth_sweep_100m", "n_keys": N, "cpus": CPUS,
+           "families": {}}
+    n_shards = 4 * CPUS
+
+    for family in ("block", "taffy_block", "taffy_cuckoo",
+                   "minimal_taffy_cuckoo"):
+        t0 = time.perf_counter()
+        if family == "block":
+            filters = build_block_shards(present, ndv=N,
+                                         fpp=0.004).cache()
+        else:
+            # ndv hint = n_shards*64 → every shard starts at the tiny
+            # floor and GROWS through its doubling schedule, exactly
+            # the reference sweep's growth profile (fpp includes the
+            # tail/level losses growth costs)
+            filters = build_filter_forest(
+                present, "key", family, ndv=n_shards * 64, fpp=0.01,
+                n_shards=n_shards).cache()
+        n_built = filters.count()
+        build_s = time.perf_counter() - t0
+        fbytes = filters.agg(F.sum(F.length("filter"))).first()[0]
+
+        t0 = time.perf_counter()
+        n_fp = probe_with_filters(absent, filters, None) \
+            .where("maybe_seen").count()
+        probe_s = time.perf_counter() - t0
+        fpp = n_fp / N
+        sigma = (fpp * (1 - fpp) / N) ** 0.5 if fpp else 1.0 / N
+
+        # zero-FN spot check on a 5M present sample
+        sample = present.limit(5_000_000)
+        n_s = sample.count()
+        found = probe_with_filters(sample, filters, None) \
+            .where("maybe_seen").count()
+        assert found == n_s, (family, found, n_s)
+        filters.unpersist()
+
+        pub = PUBLISHED[family]
+        fam = {
+            "build_s": round(build_s, 2),
+            "build_keys_per_s": round(N / build_s),
+            "build_core_ns_per_key": round(build_s * CPUS / N * 1e9, 1),
+            "probe_s": round(probe_s, 2),
+            "probe_keys_per_s": round(N / probe_s),
+            "probe_core_ns_per_key": round(probe_s * CPUS / N * 1e9, 1),
+            "filter_bytes": int(fbytes),
+            "bits_per_key": round(8 * fbytes / N, 2),
+            "shards": int(n_built),
+            "measured_fpp": round(fpp, 6),
+            "fpp_sigma": round(sigma, 8),
+            "published_fpp": pub["fpp"],
+            "published_insert_ns": pub["insert_ns"],
+            "published_lookup_ns": pub["lookup_ns"],
+            "zero_fn_sample": int(n_s),
+        }
+        out["families"][family] = fam
+        print(f"{family}: fpp {fpp:.5f} (pub {pub['fpp']}), "
+              f"build {N/build_s/1e6:.2f} Mk/s, "
+              f"probe {N/probe_s/1e6:.2f} Mk/s", flush=True)
+
+    with open(os.path.join(REPO, "BENCH", "growth100m.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({"metric": out["metric"],
+                      "families": list(out["families"])}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

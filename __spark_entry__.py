@@ -554,6 +554,50 @@ def q_catalog_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("total_tokens")))
 
 
+@_register(
+    "hibp_hexfile_semijoin",
+    """
+    SELECT COUNT(*) AS n_member_events
+    FROM events
+    WHERE user_id IN (SELECT c_custkey FROM customer
+                      WHERE c_acctbal > 3000)
+    """)
+def q_hibp_hexfile_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's HIBP workflow end-to-end
+    (cpp/extras/benchmarks/hibp.cpp:66-129): digests of the member set
+    are WRITTEN as a hex text file (one digest per line, the dump
+    format), the filter build INGESTS that file keyed on the low 64
+    digest bits (hibp.cpp:85-90), probes take the same bit window, and
+    filter hits are exact-verified against the ingested key set — so
+    the answer equals a plain semi-join and DuckDB oracles the whole
+    write → read → build → probe → verify round trip over the source
+    tables."""
+    import hashlib
+    import tempfile
+
+    from libfilter_spark.sources.hexfile import (read_hex_hashes,
+                                                 with_hibp_key,
+                                                 write_hex_hashes)
+    members = load_table(spark, sf_dir, "customer") \
+        .where("c_acctbal > 3000") \
+        .withColumn("__c", F.col("c_custkey").cast("string"))
+    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(),
+                        f"libfilter_hibp_{tag}.txt")
+    write_hex_hashes(members, "__c", path)
+    build_keys = read_hex_hashes(spark, path)
+    filters = build_filters(build_keys, group_cols=None,
+                            ndv=1 << 16, fpp=0.01)
+    probe = with_hibp_key(
+        load_table(spark, sf_dir, "events")
+        .withColumn("__c", F.col("user_id").cast("string")), "__c")
+    candidates = (probe_with_filters(probe, filters, group_cols=None)
+                  .where("maybe_seen").select("key"))
+    hits = candidates.join(build_keys.dropDuplicates(["key"]),
+                           on="key", how="left_semi")
+    return hits.agg(F.count(F.lit(1)).alias("n_member_events"))
+
+
 # ---------------------------------------------------------------------------
 # Companion sketches (north-rule additions): the estimate itself is not
 # SQL-expressible, but the error-envelope CONTRACT is — the query emits

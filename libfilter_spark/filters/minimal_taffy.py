@@ -768,7 +768,12 @@ class MinimalTaffyCuckooFilter:
         return False
 
     def find_hashes(self, hashes: np.ndarray) -> np.ndarray:
-        """Vectorized 4-way probe (2 sides × {lo, hi} permutations)."""
+        """Vectorized 4-way probe (2 sides × {lo, hi} permutations).
+        A stored path lives in exactly one slot, so once a key is
+        found the remaining probes skip its table gather (the C find
+        short-circuits per key, minimal-taffy-cuckoo.h:144-161; here
+        the pending mask is the batch analogue — absent keys still pay
+        all 4 probes, as in C)."""
         n = len(hashes)
         if n == 0:
             return np.zeros(0, dtype=bool)
@@ -777,30 +782,46 @@ class MinimalTaffyCuckooFilter:
         for i in range(2):
             side = self.sides[i]
             for keys, fis in ((side.lo, True), (side.hi, False)):
-                out |= self._find_batch_one(side, h, keys, fis)
+                if out.all():
+                    break
+                self._find_batch_one(side, h, keys, fis, out)
         return out
 
     def _find_batch_one(self, side: _Side, h: np.ndarray, keys: tuple,
-                        full_is_short: bool) -> np.ndarray:
+                        full_is_short: bool, out: np.ndarray) -> None:
+        """Probe one (side, permutation); sets ``out`` True in place
+        for found keys. Slot compares stay in the table's uint16
+        domain — widening the (m, 4) gather to int64 quadrupled the
+        memory traffic of the hot loop."""
         level, bucket, long_fp, fp, ptail = _to_path_batch(
             h, keys, self.cursor, self.log_side_size, full_is_short)
-        out = np.zeros(len(h), dtype=bool)
-        valid = ptail != 0
-        idx = np.flatnonzero(valid)
-        if len(idx):
-            rows = side.data[level[idx] * side.stride + bucket[idx]] \
-                .astype(np.int64)                                  # (m, 4)
-            slf = rows & 1
-            sfp = (rows >> 1) & 0x1FF
-            st = rows >> 10
-            cand = (st != 0) & (slf == long_fp[idx][:, None]) \
-                & (sfp == fp[idx][:, None])
+        valid = (ptail != 0) & ~out
+        if valid.all():
+            idx = None
+            rows = side.data[level * side.stride + bucket]    # (n,4) u16
+            lf_c, fp_c, pt = long_fp, fp, ptail
+        else:
+            idx = np.flatnonzero(valid)
+            if not len(idx):
+                rows = None
+            else:
+                rows = side.data[level[idx] * side.stride + bucket[idx]]
+                lf_c, fp_c, pt = long_fp[idx], fp[idx], ptail[idx]
+        if rows is not None:
+            st = rows >> np.uint16(10)
+            cand = (st != 0) \
+                & ((rows & np.uint16(1)) ==
+                   lf_c.astype(np.uint16)[:, None]) \
+                & (((rows >> np.uint16(1)) & np.uint16(0x1FF)) ==
+                   fp_c.astype(np.uint16)[:, None])
             if cand.any():
                 # the tail prefix test (table gathers) only runs on the
                 # ~2^-9 of slots whose fingerprint matched
                 r, c = np.nonzero(cand)
-                okv = is_prefix_of_batch(st[r, c], ptail[idx][r])
-                out[idx[np.unique(r[okv])]] = True
+                okv = is_prefix_of_batch(st[r, c].astype(np.int64),
+                                         pt[r])
+                hit = np.unique(r[okv])
+                out[hit if idx is None else idx[hit]] = True
         for (sl, sb, slf, sfp, st) in side.stash:
             if st == 0:
                 continue
@@ -810,7 +831,6 @@ class MinimalTaffyCuckooFilter:
                 cand &= is_prefix_of_batch(
                     np.full(len(h), st, dtype=np.int64), ptail)
                 out |= cand
-        return out
 
     # --- serde / lifecycle -------------------------------------------------
     def size_in_bytes(self) -> int:

@@ -111,3 +111,55 @@ def splitmix64(n: int, seed: int = 0x9E3779B97F4A7C15) -> np.ndarray:
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     return z ^ (z >> np.uint64(31))
+
+
+# --- Spark xxhash64 replica (forest shard routing) --------------------
+# Spark's F.xxhash64 is XXH64 with seed 42. For an 8-byte input the
+# algorithm reduces to hashLong: no stripe body, one tail word. The
+# forest build recomputes pmod(xxhash64(key), S) in numpy so the
+# routing column never crosses the Arrow boundary (shipping it would
+# double the build stage's row width — Arrow IPC dominates thin-row
+# Python stages). Verified bit-exact against F.xxhash64 on both long
+# and 8-byte-binary columns in tests/test_forest_onepass.py.
+_XX_P1 = np.uint64(0x9E3779B185EBCA87)
+_XX_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XX_P3 = np.uint64(0x165667B19E3779F9)
+_XX_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_XX_P5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def xxhash64_long(v: np.ndarray, seed: int = 42) -> np.ndarray:
+    """XXH64 of one 64-bit word — Spark's ``xxhash64(long_col)``.
+    Input uint64 bit pattern; returns uint64 hash bits."""
+    v = v.astype(np.uint64, copy=False)
+    h = np.uint64(seed) * np.uint64(1) + _XX_P5 + np.uint64(8)
+    k1 = _rotl64(v * _XX_P2, 31) * _XX_P1
+    h = h ^ k1
+    h = _rotl64(h, 27) * _XX_P1 + _XX_P4
+    h ^= h >> np.uint64(33)
+    h *= _XX_P2
+    h ^= h >> np.uint64(29)
+    h *= _XX_P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def spark_xxhash64_keys(keys: np.ndarray, binary: bool) -> np.ndarray:
+    """xxhash64 bits Spark computes for a key column holding these
+    uint64 keys. Long columns hash the value directly; 8-byte binary
+    columns (big-endian uint64, keys_from_hash_bytes) are read as ONE
+    little-endian tail word by XXH64 — i.e. the byte-swapped value."""
+    k = keys.astype(np.uint64, copy=False)
+    return xxhash64_long(k.byteswap() if binary else k)
+
+
+def shard_of_keys(keys: np.ndarray, n_shards: int,
+                  binary: bool) -> np.ndarray:
+    """numpy replica of the forest routing column
+    ``pmod(xxhash64(key), n_shards)`` (spark/forest.py with_shard)."""
+    h = spark_xxhash64_keys(keys, binary).view(np.int64)
+    return h % np.int64(n_shards)  # numpy % = sign of divisor = pmod

@@ -31,6 +31,18 @@ def read_hex_hashes(spark: SparkSession, path: str,
         .where(F.col(key_col).isNotNull() & (F.length(key_col) == 8))
 
 
+def with_hibp_key(df: DataFrame, content_col: str,
+                  key_col: str = KEY_COL) -> DataFrame:
+    """Probe-side key derivation matching the hexfile ingest: LOW 64
+    bits of sha256(content) — the reference keys HIBP filters on the
+    low 64 digest bits (hibp.cpp:85-90), so a probe against a filter
+    built from ``read_hex_hashes`` must take the same window (the
+    standard ``with_content_key_bin`` takes the HIGH 64)."""
+    digest = F.upper(F.sha2(F.col(content_col), 256))
+    return df.withColumn(key_col,
+                         F.unhex(F.substring(digest, -16, 16)))
+
+
 def write_hex_hashes(df: DataFrame, content_col: str, path: str) -> None:
     """Sink: write sha256 digests of a column as an HIBP-style text
     file (round-trips through read_hex_hashes)."""

@@ -46,10 +46,37 @@ def with_shard(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
 def build_filter_forest(df: DataFrame, key_col: str = "key",
                         family: str = "taffy_cuckoo",
                         ndv: int = 1 << 20, fpp: float = 0.01,
-                        n_shards: int | None = None) -> DataFrame:
+                        n_shards: int | None = None,
+                        engine: str = "auto") -> DataFrame:
     """→ one filter row per shard: (__shard, family, params, n_keys,
     n_partials=1, filter). ``ndv`` is the TOTAL population hint; each
-    shard pre-sizes to its share."""
+    shard pre-sizes to its share.
+
+    One-pass streaming build: keys ``repartition(n, __shard)`` (the
+    shuffle writes straight to builder tasks) and stream through
+    ``mapInArrow`` batches — Python never materializes a shard's whole
+    key table the way ``groupBy.applyInArrow`` did (the r3-measured
+    2→8 scaling cap: one full-group Arrow table per shard). Only the
+    8-byte key column crosses into Python; the shard id is recomputed
+    per batch with the bit-exact numpy replica of Spark's xxhash64
+    (kernels/keys.py shard_of_keys, verified against F.xxhash64).
+
+    ``engine``: ``arrow`` (the ``auto`` default) streams keys into
+    Python — works for every family, required for the cuckoo families
+    whose kick walks are inherently Python-side. ``jvm`` (taffy_block
+    only) runs the insert as the whole-stage-codegen bit_or
+    aggregation — ZERO keys cross into Python, removing the Arrow-IPC
+    stream that a control experiment showed is ~the entire ≥8-core
+    build cost (raw kernel inserts scale 8.3→27.5 Mk/s at 8→32
+    workers while the streamed build plateaus at ~2.3 Mk/s). The jvm
+    engine pre-sizes level 0 with a 1.25× margin (aggregation is
+    orderless, so a shard cannot upsize mid-build; the margin absorbs
+    xxhash balance jitter — overflow past it errors rather than
+    silently mis-building), trading ~25% level-0 bytes for the
+    JVM-scaling build; sizes/fpp therefore differ from the arrow
+    engine's exact schedule, which remains the default.
+    """
+    from pyspark.sql.types import BinaryType as _Bin
     spark = df.sparkSession
     if n_shards is None:
         n_shards = int(spark.conf.get("spark.sql.shuffle.partitions",
@@ -60,7 +87,25 @@ def build_filter_forest(df: DataFrame, key_col: str = "key",
                          "routing": "xxhash64"})
     cls = FAMILIES[family]
     per_shard = max(64, ndv // n_shards)
-    proj = with_shard(df.select(key_col), key_col, n_shards)
+    if engine == "auto":
+        engine = "arrow"
+    if engine == "jvm":
+        if family != "taffy_block":
+            raise ValueError(
+                "the jvm forest engine covers taffy_block only (cuckoo "
+                "kick walks are Python-side by design)")
+        return _build_tbf_forest_jvm(df, key_col, n_shards, per_shard,
+                                     fpp, params)
+    if engine != "arrow":
+        raise ValueError(f"unknown forest engine {engine!r}")
+    is_binary = isinstance(df.schema[key_col].dataType, _Bin)
+    # null keys dropped (probe reports null keys non-members; inserting
+    # the key-0 surrogate would add a spurious bit — same contract as
+    # the sharded block build)
+    routed = with_shard(
+        df.select(key_col).where(F.col(key_col).isNotNull()),
+        key_col, n_shards).repartition(n_shards, SHARD_COL) \
+        .select(key_col)
     schema = StructType([
         StructField(SHARD_COL, LongType()),
         StructField("family", StringType()),
@@ -70,25 +115,129 @@ def build_filter_forest(df: DataFrame, key_col: str = "key",
         StructField("filter", BinaryType()),
     ])
 
-    def build(table):
-        # applyInArrow + zero-copy key extraction: a pandas grouped map
-        # would materialize one Python bytes object per key
+    def build_stream(batches):
+        import numpy as np
         import pyarrow as pa
 
-        from ..kernels.keys import keys_from_arrow
-        keys = keys_from_arrow(table.column(key_col))
-        f = cls.create(per_shard, fpp)
-        f.add_hashes(keys)
-        return pa.table({
-            SHARD_COL: pa.array(
-                [table.column(SHARD_COL)[0].as_py()], type=pa.int64()),
-            "family": pa.array([family]),
-            "params": pa.array([params]),
-            "n_keys": pa.array([len(keys)], type=pa.int64()),
-            "n_partials": pa.array([1], type=pa.int64()),
-            "filter": pa.array([f.serialize()], type=pa.binary())})
+        from ..kernels.keys import keys_from_arrow, shard_of_keys
+        filters: dict[int, object] = {}
+        counts: dict[int, int] = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            keys = keys_from_arrow(batch.column(0))
+            shards = shard_of_keys(keys, n_shards, binary=is_binary)
+            for s in np.unique(shards):
+                s = int(s)
+                f = filters.get(s)
+                if f is None:
+                    f = filters[s] = cls.create(per_shard, fpp)
+                    counts[s] = 0
+                sel = shards == s
+                f.add_hashes(keys[sel])
+                counts[s] += int(sel.sum())
+        if filters:
+            yield pa.RecordBatch.from_pydict({
+                SHARD_COL: pa.array(list(filters), type=pa.int64()),
+                "family": pa.array([family] * len(filters)),
+                "params": pa.array([params] * len(filters)),
+                "n_keys": pa.array([counts[s] for s in filters],
+                                   type=pa.int64()),
+                "n_partials": pa.array([1] * len(filters),
+                                       type=pa.int64()),
+                "filter": pa.array([f.serialize()
+                                    for f in filters.values()],
+                                   type=pa.binary())})
 
-    return proj.groupBy(SHARD_COL).applyInArrow(build, schema=schema)
+    return routed.mapInArrow(build_stream, schema=schema)
+
+
+def _build_tbf_forest_jvm(df: DataFrame, key_col: str, n_shards: int,
+                          per_shard: int, fpp: float,
+                          params: str) -> DataFrame:
+    """taffy_block forest with the insert in Tungsten: a PRE-SIZED TBF
+    shard never upsizes, so its state is one level-0 block array plus
+    (ndv0, ttl = ndv0 − n, last_ndv = ndv0) bookkeeping — and level-0
+    insertion is the block scatter-OR, i.e. the shared
+    ``groupBy(shard, bucket).agg(bit_or)`` aggregation
+    (spark/sharded.py block_groupby_bitor). Python sees only the
+    reduced nonzero-bucket rows and emits blobs BYTE-IDENTICAL to the
+    arrow engine's ``create(per_shard) + add_hashes`` (asserted in
+    tests). Shards whose key count would exceed the level-0 capacity
+    (a real TBF would upsize) raise — raise ``ndv`` or use
+    ``engine='arrow'``."""
+    import numpy as np
+
+    from ..filters.taffy_block import (TaffyBlockFilter, _level0_ndv,
+                                       _level_bytes)
+    from ..kernels import block as K
+    from .sharded import block_groupby_bitor
+
+    # 1.25x margin: the bit_or aggregation is orderless, so a shard
+    # cannot upsize mid-build; the margin absorbs xxhash load jitter
+    # (P(load > 1.25x mean) is e^-O(mean) — negligible past a few
+    # thousand keys/shard). ndv stays a hint; a hint low enough to
+    # blow the margin errors at assembly instead of mis-building.
+    ndv0 = _level0_ndv(int(per_shard * 1.25) + 64, fpp)
+    num_buckets = K.num_buckets_for(_level_bytes(ndv0, fpp, 0))
+    shard_expr = F.pmod(F.xxhash64(F.col(key_col)),
+                        F.lit(n_shards)).cast("long")
+    agg = block_groupby_bitor(df.select(key_col), key_col, num_buckets,
+                              shard_expr=shard_expr) \
+        .repartition(n_shards, SHARD_COL)
+    schema = (f"{SHARD_COL} long, family string, params string, "
+              "n_keys long, n_partials long, filter binary")
+
+    def assemble(batches):
+        import pyarrow as pa
+        slices: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            s = batch.column(SHARD_COL).to_numpy(zero_copy_only=False)
+            b = batch.column("b").to_numpy(zero_copy_only=False)
+            cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+            ps = [batch.column(f"p{i}").to_numpy(zero_copy_only=False)
+                  .view(np.uint64) for i in range(4)]
+            for sh in np.unique(s):
+                sh = int(sh)
+                sl = slices.get(sh)
+                if sl is None:
+                    sl = slices[sh] = np.zeros(num_buckets * 4,
+                                               dtype=np.uint64)
+                    counts[sh] = 0
+                sel = s == sh
+                m = sl.reshape(-1, 4)
+                idx = b[sel]
+                for i in range(4):
+                    # buckets are distinct post-agg within a shard
+                    m[idx, i] = ps[i][sel]
+                counts[sh] += int(cnt[sel].sum())
+        if slices:
+            blobs = []
+            for sh, sl in slices.items():
+                n = counts[sh]
+                if n > ndv0:
+                    raise ValueError(
+                        f"forest shard {sh} got {n} keys > level-0 "
+                        f"capacity {ndv0}; a real taffy_block would "
+                        "upsize — raise ndv or use engine='arrow'")
+                level0 = np.ascontiguousarray(sl.view(np.uint32))
+                f = TaffyBlockFilter(ndv0, fpp, [level0],
+                                     ttl=ndv0 - n, last_ndv=ndv0)
+                blobs.append(f.serialize())
+            yield pa.RecordBatch.from_pydict({
+                SHARD_COL: pa.array(list(slices), type=pa.int64()),
+                "family": pa.array(["taffy_block"] * len(slices)),
+                "params": pa.array([params] * len(slices)),
+                "n_keys": pa.array([counts[s] for s in slices],
+                                   type=pa.int64()),
+                "n_partials": pa.array([1] * len(slices),
+                                       type=pa.int64()),
+                "filter": pa.array(blobs, type=pa.binary())})
+
+    return agg.mapInArrow(assemble, schema=schema)
 
 
 def probe_with_forest(df: DataFrame, forest_df: DataFrame,

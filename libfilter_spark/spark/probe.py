@@ -12,8 +12,6 @@ turns a 100 TB shuffle into a few-GB shuffle.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import os
 
 import numpy as np

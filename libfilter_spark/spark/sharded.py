@@ -190,12 +190,12 @@ def build_block_shards(df: DataFrame, key_col: str = "key",
                "n_keys long, n_partials long, filter binary")
 
 
-def _build_block_shards_jvm(df: DataFrame, key_col: str,
-                            num_buckets: int, n_shards: int,
-                            bounds: list, params: str) -> DataFrame:
-    """The JVM-aggregation engine: filter state is built by Catalyst,
-    not numpy. Per key, compute (bucket, 8 lane masks) with integer
-    expressions replicating ``block.h:97-125`` exactly:
+def block_groupby_bitor(df: DataFrame, key_col: str, num_buckets: int,
+                        shard_expr=None) -> DataFrame:
+    """The shared JVM bit_or aggregation: the block scatter-OR insert
+    as a whole-stage-codegen ``groupBy([shard,] bucket).agg(bit_or)``.
+    Per key, (bucket, 8 lane masks) are integer expressions
+    replicating ``block.h:97-125`` exactly:
 
     - bucket = (h_hi * num_buckets) >> 32 (mulhi range reduction on
       the upper 32 key bits),
@@ -205,12 +205,12 @@ def _build_block_shards_jvm(df: DataFrame, key_col: str,
     - lane pairs pack into one BIGINT each (bit_or distributes over
       the packed halves), so the aggregation state is 4 longs/bucket.
 
-    ``groupBy(bucket).agg(bit_or(...))`` then runs with map-side
-    partial combine under whole-stage codegen: shuffle volume is one
-    row per DISTINCT bucket per task (<= filter size), and Python only
-    sees the reduced nonzero-bucket rows for slice assembly."""
-    import numpy as np
-
+    Map-side partial combine runs before the shuffle: volume is one
+    row per DISTINCT (shard, bucket) per task (≤ filter size), and
+    Python only ever sees the reduced nonzero-bucket rows. Returns
+    ([__shard,] b, p0..p3, cnt); ``shard_expr`` (a Column) routes
+    buckets of INDEPENDENT per-shard filters (the taffy-block forest);
+    without it buckets index ONE global filter."""
     if isinstance(df.schema[key_col].dataType, BinaryType):
         b_expr = (f"shiftright(cast(conv(hex(substring({key_col},1,4)),"
                   f"16,10) as bigint) * {num_buckets}, 32)")
@@ -220,8 +220,10 @@ def _build_block_shards_jvm(df: DataFrame, key_col: str,
         b_expr = (f"shiftright(shiftrightunsigned(cast({key_col} as "
                   f"bigint), 32) * {num_buckets}, 32)")
         hlo_expr = f"cast({key_col} as bigint) & 4294967295"
+    lead = [shard_expr.alias(SHARD_COL)] if shard_expr is not None else []
     base = (df.where(F.col(key_col).isNotNull())
-            .select(F.expr(b_expr).alias("b"),
+            .select(*lead,
+                    F.expr(b_expr).alias("b"),
                     F.expr(hlo_expr).alias("hlo"))
             .withColumn("a0", F.expr("hlo & 65535"))
             .withColumn("a1", F.expr("shiftright(hlo, 16)")))
@@ -236,10 +238,22 @@ def _build_block_shards_jvm(df: DataFrame, key_col: str,
     pairs = [F.expr(f"{mask(seeds[2 * i])} | "
                     f"shiftleft({mask(seeds[2 * i + 1])}, 32)")
              .alias(f"p{i}") for i in range(4)]
-    agg = (base.select("b", *pairs)
-           .groupBy("b")
-           .agg(*[F.bit_or(f"p{i}").alias(f"p{i}") for i in range(4)],
-                F.count(F.lit(1)).alias("cnt"))
+    gb = ([SHARD_COL] if shard_expr is not None else []) + ["b"]
+    return (base.select(*gb, *pairs)
+            .groupBy(*gb)
+            .agg(*[F.bit_or(f"p{i}").alias(f"p{i}") for i in range(4)],
+                 F.count(F.lit(1)).alias("cnt")))
+
+
+def _build_block_shards_jvm(df: DataFrame, key_col: str,
+                            num_buckets: int, n_shards: int,
+                            bounds: list, params: str) -> DataFrame:
+    """The JVM-aggregation engine for ONE global block filter: shard =
+    contiguous bucket range derived from the aggregated bucket id (see
+    block_groupby_bitor for the insert-as-aggregation machinery)."""
+    import numpy as np
+
+    agg = (block_groupby_bitor(df, key_col, num_buckets)
            .withColumn(SHARD_COL,
                        F.floor(F.col("b") * F.lit(n_shards) /
                                F.lit(int(num_buckets))).cast("int"))

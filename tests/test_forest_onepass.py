@@ -1,0 +1,105 @@
+"""One-pass forest build (round-4): the numpy xxhash64 replica must be
+bit-exact with Spark's F.xxhash64 (the probe routes JVM-side with it),
+and the streamed mapInArrow build must agree with the routing."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from libfilter_spark.kernels.keys import (shard_of_keys,
+                                          spark_xxhash64_keys, to_signed)
+
+
+def test_numpy_xxhash64_matches_spark(spark):
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 1 << 64, 2000, dtype=np.uint64)
+    df = spark.createDataFrame([(int(x),) for x in to_signed(keys)],
+                               "key long")
+    got = np.array([r[0] for r in df.select(F.xxhash64("key")).collect()],
+                   dtype=np.int64)
+    assert np.array_equal(got, spark_xxhash64_keys(keys, False)
+                          .view(np.int64))
+    blobs = [(bytearray(int(x).to_bytes(8, "big")),) for x in keys]
+    dfb = spark.createDataFrame(blobs, "key binary")
+    gotb = np.array([r[0] for r in dfb.select(F.xxhash64("key")).collect()],
+                    dtype=np.int64)
+    assert np.array_equal(gotb, spark_xxhash64_keys(keys, True)
+                          .view(np.int64))
+    gp = np.array([r[0] for r in
+                   dfb.select(F.pmod(F.xxhash64("key"), F.lit(13)))
+                   .collect()])
+    assert np.array_equal(gp, shard_of_keys(keys, 13, binary=True))
+
+
+def test_one_pass_forest_zero_fn_and_one_row_per_shard(spark):
+    """Streamed build + JVM-routed probe: zero FN proves the numpy
+    shard assignment equals the probe's JVM routing for every key;
+    repartition-by-shard proves exactly one row per non-empty shard."""
+    from libfilter_spark.spark.forest import (build_filter_forest,
+                                              probe_with_forest)
+    from libfilter_spark.spark.keys import with_content_key_bin
+    n = 40_000
+    df = spark.range(n).withColumn("content", F.col("id").cast("string"))
+    keys = with_content_key_bin(df, "content").select("key")
+    for family in ("taffy_cuckoo", "taffy_block"):
+        forest = build_filter_forest(keys, "key", family, ndv=n,
+                                     fpp=0.01, n_shards=8).cache()
+        rows = forest.collect()
+        shards = [r["__shard"] for r in rows]
+        assert len(shards) == len(set(shards))  # one row per shard
+        assert sum(r["n_keys"] for r in rows) == n
+        found = probe_with_forest(keys, forest, "key") \
+            .where("maybe_seen").count()
+        assert found == n, (family, found)
+        forest.unpersist()
+    # null keys are dropped at build and non-members at probe
+    nulls = spark.createDataFrame([(None,)], keys.schema)
+    forest = build_filter_forest(keys.unionByName(nulls), "key",
+                                 "taffy_cuckoo", ndv=n, n_shards=4)
+    forest.cache()
+    assert sum(r["n_keys"] for r in forest.collect()) == n
+    got = probe_with_forest(keys.unionByName(nulls), forest, "key")
+    assert got.where("maybe_seen").count() == n
+    assert got.count() == n + 1
+    forest.unpersist()
+
+
+def test_tbf_forest_jvm_engine_byte_identical(spark):
+    """The jvm (bit_or aggregation) taffy_block forest engine must be
+    byte-identical to the arrow (streamed numpy) engine at the SAME
+    level-0 sizing, shard by shard, for binary AND long key columns.
+    (The jvm engine's public sizing carries a 1.25x jitter margin, so
+    the arrow side here is given the equivalent inflated ndv.)"""
+    from libfilter_spark.spark.forest import build_filter_forest
+    from libfilter_spark.spark.keys import (with_content_key,
+                                            with_content_key_bin)
+    n, shards = 30_000, 8
+    ndv0_jvm = int((n // shards) * 1.25) + 64  # the jvm engine's margin
+    df = spark.range(n).withColumn("content", F.col("id").cast("string"))
+    for keys in (with_content_key_bin(df, "content").select("key"),
+                 with_content_key(df, "content",
+                                  hex_col=None).select("key")):
+        frames = {}
+        for engine, ndv in (("jvm", n), ("arrow", ndv0_jvm * shards)):
+            fr = build_filter_forest(keys, "key", "taffy_block", ndv=ndv,
+                                     fpp=0.01, n_shards=shards,
+                                     engine=engine)
+            frames[engine] = {r["__shard"]: (bytes(r["filter"]),
+                                             r["n_keys"])
+                              for r in fr.collect()}
+        assert frames["jvm"] == frames["arrow"]
+        # and the jvm forest probes zero-FN through the shared route
+        fr = build_filter_forest(keys, "key", "taffy_block", ndv=n,
+                                 fpp=0.01, n_shards=shards,
+                                 engine="jvm").cache()
+        from libfilter_spark.spark.forest import probe_with_forest
+        assert probe_with_forest(keys, fr, "key") \
+            .where("maybe_seen").count() == n
+        fr.unpersist()
+    # capacity overflow raises instead of silently under-building
+    import pytest as _pytest
+    tiny = build_filter_forest(
+        with_content_key_bin(df, "content").select("key"),
+        "key", "taffy_block", ndv=64, fpp=0.01, n_shards=2,
+        engine="jvm")
+    with _pytest.raises(Exception, match="level-0 capacity"):
+        tiny.collect()
