@@ -190,6 +190,14 @@ def run_at(cpus: int, n: int) -> dict:
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--render":
+        # re-render BENCH/BASELINE.md from the recorded scaling.json
+        # (template changes without a 30-min bench rerun)
+        with open("BENCH/scaling.json") as fh:
+            prev = json.load(fh)
+        results = {c: prev[f"local[{c}]"] for c in (2, 8, 32)}
+        write_reports(results, prev["n_keys"])
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else \
         int(os.environ.get("SPARK_GRAFT_SCALING_KEYS", 10_000_000))
     # the sandbox shows intermittent multi-second throttle episodes;
@@ -235,6 +243,10 @@ def main() -> None:
     for _ in range(rounds):
         for c in (2, 8, 32):
             results[c] = merge_cfg(results.get(c), run_at(c, n))
+    write_reports(results, n)
+
+
+def write_reports(results: dict[int, dict], n: int) -> None:
     r2, r8, r32 = results[2], results[8], results[32]
 
     def eff(lo, hi, kind):
@@ -333,6 +345,43 @@ TBF build efficiency 2→8:
 {eff_fam(results, 'taffy_block'):.3f}; TCF build efficiency 2→8:
 {eff_fam(results, 'taffy_cuckoo'):.3f}.
 
+### What bounds the streamed forest at ≥8 cores (round-4 isolation)
+
+The round-4 one-pass build (repartition + mapInArrow streaming; no
+full-group materialization) made the forest FASTER at every
+parallelism (TBF local[2] 854k→1.05M keys/s, local[8] 2.14→2.29M at
+4M keys) — but the ≥8-core throughput plateaus ~2.3 Mk/s regardless
+of cores. Control experiment (pure multiprocessing, no Spark, same
+kernels, 2 shards/worker): TCF inserts aggregate 1.55 → 8.33 → 27.5
+M keys/s at 2 → 8 → 32 workers; TBF 1.65 → 41.5 → 85.6. The kernels
+scale; the plateau is the shuffle + Arrow-IPC plumbing that streams
+8-byte keys into Python (consistent with the measured ~200 ns/key
+IPC cost of thin-row mapInArrow stages). On a real cluster that
+stream is executor-local and scales with executor count; in one box
+it shares a memory bus.
+
+### taffy_block_jvm — the aggregation forest engine ({r2['families'].get('taffy_block_jvm', {}).get('n', 0):,} keys)
+
+For taffy_block the escape hatch ships: pre-sized shards never
+upsize, so the insert runs as the whole-stage-codegen
+``groupBy(shard, bucket).agg(bit_or)`` (the sharded-block engine,
+spark/sharded.py block_groupby_bitor) — ZERO keys cross into Python,
+byte-identical blobs to the streamed engine at equal sizing (tested),
+1.25× level-0 margin for shard-load jitter. Measured crossover vs the
+streamed engine sits past ~20M keys/2 cores (at 4M the stream still
+wins absolutely; at 20M jvm scales 0.73 vs arrow 0.63 from 2→8), so
+this row runs at the pipeline's full n — the regime a 100 TB shard
+actually lives in. Cuckoo families cannot take this path (kick walks
+are stateful Python by design).
+
+| config | TBF-jvm build keys/s | probe keys/s | fpp |
+|---|---|---|---|
+| local[2]  | {r2['families'].get('taffy_block_jvm', {}).get('build_keys_per_s', 0):,} | {r2['families'].get('taffy_block_jvm', {}).get('probe_keys_per_s', 0):,} | {r2['families'].get('taffy_block_jvm', {}).get('fpp', '—')} |
+| local[8]  | {r8['families'].get('taffy_block_jvm', {}).get('build_keys_per_s', 0):,} | {r8['families'].get('taffy_block_jvm', {}).get('probe_keys_per_s', 0):,} | {r8['families'].get('taffy_block_jvm', {}).get('fpp', '—')} |
+| local[32] | {r32['families'].get('taffy_block_jvm', {}).get('build_keys_per_s', 0):,} | {r32['families'].get('taffy_block_jvm', {}).get('probe_keys_per_s', 0):,} | {r32['families'].get('taffy_block_jvm', {}).get('fpp', '—')} |
+
+TBF-jvm build efficiency 2→8: {eff_fam(results, 'taffy_block_jvm'):.3f}.
+
 ### Why 2→8 is the honest N→4N pair on this box
 
 The scatter-OR kernel is memory-bandwidth-bound. Measured with pure
@@ -381,6 +430,25 @@ remaining gap to C is numpy having to materialize the (n,4) u64 mask
 matrix and int64 index vector that the C version keeps in SIMD
 registers per key. 130 ns/key is within 18% of the structural numpy
 floor for this memory-access pattern.
+
+## Round-4 reconciliation & route notes
+
+- **r3 block-5M bench regressions were throttle**, reproduced by
+  in-process A/B: the r3-recorded build_block_5m 3.74 s / probe 1.88 s
+  re-measured at 2.78 s (partials, ≈ r2's 2.94) and 1.07 s (broadcast
+  probe, ≈ r2's 1.16) on the unchanged code paths. On top of that,
+  round 4 re-routed 5M-key global block builds to the sharded path
+  (LIBFILTER_SHARDED_MIN 32 MB → 4 MB; measured sharded-arrow 1.82 s
+  vs partials 2.78 s) and probes shard frames by assembling the
+  disjoint slices into ONE filter per worker (1.07 s vs 1.57 s for
+  the grouped shard probe at 5M).
+- **Probe routes**: broadcast up to $LIBFILTER_BROADCAST_MAX collected
+  bytes (256 MB default), then an automatic cogroup SHUFFLE probe that
+  never moves blobs to the driver — see BENCH/probe_10kgroups.json for
+  the 10^4-group driver-RSS evidence.
+- **Reference-scale growth sweep** (ndv = 10^8, the paper's headline
+  config): BENCH/growth100m.json records per-family measured fpp
+  against the published column plus pipeline keys/s.
 """)
 
 
