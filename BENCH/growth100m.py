@@ -81,12 +81,20 @@ def main() -> None:
         yield pd.DataFrame({"n": [0]})
     present.mapInPandas(_noop, schema="n long").count()
 
+    out_path = os.path.join(REPO, "BENCH", "growth100m.json")
     out = {"metric": "growth_sweep_100m", "n_keys": N, "cpus": CPUS,
            "families": {}}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            prev = json.load(fh)
+        if prev.get("n_keys") == N:
+            out["families"] = prev.get("families", {})
     n_shards = 4 * CPUS
 
-    for family in ("block", "taffy_block", "taffy_cuckoo",
-                   "minimal_taffy_cuckoo"):
+    todo = os.environ.get(
+        "SPARK_GRAFT_GROWTH_FAMILIES",
+        "block,taffy_block,taffy_cuckoo,minimal_taffy_cuckoo").split(",")
+    for family in todo:
         t0 = time.perf_counter()
         if family == "block":
             filters = build_block_shards(present, ndv=N,
@@ -95,18 +103,26 @@ def main() -> None:
             # ndv hint = n_shards*64 → every shard starts at the tiny
             # floor and GROWS through its doubling schedule, exactly
             # the reference sweep's growth profile (fpp includes the
-            # tail/level losses growth costs)
+            # tail/level losses growth costs). taffy_block runs the
+            # reference's 0.4% TBF config (taffy.tex:1589 — its
+            # published 0.00371 row is the 0.4% config, not 1%); the
+            # cuckoo families ignore fpp structurally.
+            fam_fpp = 0.004 if family == "taffy_block" else 0.01
             filters = build_filter_forest(
-                present, "key", family, ndv=n_shards * 64, fpp=0.01,
+                present, "key", family, ndv=n_shards * 64, fpp=fam_fpp,
                 n_shards=n_shards).cache()
         n_built = filters.count()
         build_s = time.perf_counter() - t0
         fbytes = filters.agg(F.sum(F.length("filter"))).first()[0]
 
-        t0 = time.perf_counter()
-        n_fp = probe_with_filters(absent, filters, None) \
-            .where("maybe_seen").count()
-        probe_s = time.perf_counter() - t0
+        # min-of-2 probe trials: this sandbox's CPU throttle swings
+        # single-shot timings up to ~7x (fpp identical across trials)
+        probe_s = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_fp = probe_with_filters(absent, filters, None) \
+                .where("maybe_seen").count()
+            probe_s = min(probe_s, time.perf_counter() - t0)
         fpp = n_fp / N
         sigma = (fpp * (1 - fpp) / N) ** 0.5 if fpp else 1.0 / N
 
@@ -141,7 +157,7 @@ def main() -> None:
               f"build {N/build_s/1e6:.2f} Mk/s, "
               f"probe {N/probe_s/1e6:.2f} Mk/s", flush=True)
 
-    with open(os.path.join(REPO, "BENCH", "growth100m.json"), "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({"metric": out["metric"],
                       "families": list(out["families"])}))

@@ -196,6 +196,8 @@ def main() -> None:
             "probe_efficiency_2_to_8")
         extras["scaling_tcf_forest_eff_2_to_8"] = sc.get(
             "taffy_cuckoo_build_efficiency_2_to_8")
+        extras["scaling_tbf_jvm_forest_eff_2_to_8"] = sc.get(
+            "taffy_block_jvm_build_efficiency_2_to_8")
         extras["scaling_build_keys_per_s_local8"] = sc.get(
             "local[8]", {}).get("build_keys_per_s")
 
