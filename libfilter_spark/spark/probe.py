@@ -54,18 +54,26 @@ def _collect_filters_auto(filters_df: DataFrame,
     """auto-mode collect policy (None ⇒ over budget, caller falls back
     to the shuffle probe):
 
-    - cached or ≤8-partition frames: plain collect() — one job.
-      toLocalIterator on a CACHED 32-partition frame was measured at
-      3.0 s of sequential mini-jobs vs 0.25 s collect; local/tiny
-      frames (bench, re-probes) must not pay that.
-    - uncached multi-partition frames: budgeted toLocalIterator — the
-      recompute dominates there (measured 1.16 s iterator vs 1.37 s
-      collect on an uncached grouped build), upstream shuffle outputs
-      are reused across the per-partition jobs, and driver memory
-      stays bounded by the budget at ANY group count."""
+    - cached frames, or sessions with ≤64 shuffle partitions: plain
+      collect() — one job, plus a post-collect budget check (warn +
+      shuffle fallback). The iterator costs ~90 ms of sequential
+      mini-job scheduling PER PARTITION (measured 3.0 s on a cached
+      32-partition frame vs 0.25 s collect), so the frames a small
+      session produces must not pay it per probe. The signal is the
+      session conf, which is FREE — asking the frame itself
+      (rdd.getNumPartitions) converts the plan to an RDD at ~230 ms
+      per call, measured as a 2 s regression across one driver query.
+    - bigger-session uncached frames — the shape a 10^5-group build
+      on a real cluster has (hundreds of shuffle partitions):
+      budgeted toLocalIterator. Recompute dominates there (measured
+      1.16 s iterator vs 1.37 s collect on an uncached grouped
+      build), upstream shuffle outputs are reused across the
+      per-partition jobs, and driver memory stays bounded by the
+      budget at ANY group count."""
     sl = filters_df.storageLevel
-    if (sl.useMemory or sl.useDisk) \
-            or filters_df.rdd.getNumPartitions() <= 8:
+    session_parts = int(filters_df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    if (sl.useMemory or sl.useDisk) or session_parts <= 64:
         out = collect_filters(filters_df, group_cols)
         if sum(len(b) for _, b in out.values()) > _BROADCAST_MAX:
             import warnings
