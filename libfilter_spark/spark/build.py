@@ -329,6 +329,18 @@ def _build_grouped(df: DataFrame, group_cols: list[str], key_col: str,
     proj = df.select(*group_cols, key_col)
     schema = _result_schema(proj, group_cols)
 
+    # huge grouped BLOCK builds take the JVM bit_or engine past the
+    # same ~10M-keys/group crossover as the global sharded build: the
+    # insert runs as groupBy(group, bucket).agg(bit_or) under
+    # whole-stage codegen and ZERO keys cross into Python — the
+    # streamed applyInArrow pass below was measured as the scaling
+    # ceiling for thin-row Python stages. Shuffle volume: one ~40 B
+    # row per distinct (group, bucket) ≈ filter bytes (+ the group key
+    # per row), map-side combined.
+    if family == "block" and group_cols and ndv >= 10_000_000:
+        return _build_grouped_block_jvm(proj, group_cols, key_col,
+                                        ndv, fpp, params, schema)
+
     def bulk(table):
         # applyInArrow + zero-copy key extraction (see arrow_partials)
         import pyarrow as pa
@@ -356,3 +368,75 @@ def _build_grouped(df: DataFrame, group_cols: list[str], key_col: str,
             .applyInArrow(
                 lambda table: bulk(table.drop_columns("__g")),
                 schema=schema))
+
+
+def _build_grouped_block_jvm(proj: DataFrame, group_cols: list[str],
+                             key_col: str, ndv: int, fpp: float,
+                             params: str, schema) -> DataFrame:
+    """Grouped block build with the insert in Tungsten (see
+    spark/sharded.py block_groupby_bitor): per-group filters assemble
+    from the reduced nonzero-bucket rows — per-task memory is the
+    filters of the groups hashed to it, same bound as the streamed
+    bulk path. Byte-identical to the applyInArrow bulk build on
+    null-free keys (nulls are dropped here, as in every JVM engine)."""
+    from ..kernels.sizing import BUCKET_BYTES, block_bytes_needed
+    from .sharded import block_groupby_bitor
+
+    num_buckets = max(1, block_bytes_needed(ndv, fpp) // BUCKET_BYTES)
+    agg = block_groupby_bitor(proj, key_col, num_buckets,
+                              lead_cols=group_cols) \
+        .repartition(*group_cols)
+    out_names = [f.name for f in schema.fields]
+
+    def assemble(batches):
+        import pyarrow as pa
+        slices: dict[tuple, np.ndarray] = {}
+        counts: dict[tuple, int] = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            gvals = [batch.column(c).to_pylist() for c in group_cols]
+            b = batch.column("b").to_numpy(zero_copy_only=False)
+            cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+            ps = [batch.column(f"p{i}").to_numpy(zero_copy_only=False)
+                  .view(np.uint64) for i in range(4)]
+            import numpy as _np
+            # collision-free per-column factorization → combined code
+            gkey = _np.zeros(batch.num_rows, dtype=_np.int64)
+            for col in gvals:
+                u, inv = _np.unique(_np.asarray(col, dtype=object),
+                                    return_inverse=True)
+                gkey = gkey * _np.int64(len(u)) + inv.astype(_np.int64)
+            order = _np.argsort(gkey, kind="stable")
+            bounds = _np.flatnonzero(_np.diff(gkey[order])) + 1
+            for seg in _np.split(order, bounds):
+                g = tuple(col[seg[0]] for col in gvals)
+                sl = slices.get(g)
+                if sl is None:
+                    sl = slices[g] = _np.zeros(num_buckets * 4,
+                                               dtype=_np.uint64)
+                    counts[g] = 0
+                m = sl.reshape(-1, 4)
+                idx = b[seg]
+                for i in range(4):
+                    # buckets are distinct post-agg within a group
+                    m[idx, i] = ps[i][seg]
+                counts[g] += int(cnt[seg].sum())
+        if slices:
+            from ..kernels.block import serialize as _ser
+            cols: dict[str, list] = {c: [] for c in out_names}
+            for g, sl in slices.items():
+                for c, v in zip(group_cols, g):
+                    cols[c].append(v)
+                cols["family"].append("block")
+                cols["params"].append(params)
+                cols["n_keys"].append(counts[g])
+                cols["n_partials"].append(1)
+                cols["filter"].append(
+                    _ser(np.ascontiguousarray(sl.view(np.uint32))))
+            from pyspark.sql.pandas.types import to_arrow_type
+            pa_schema = pa.schema([(f.name, to_arrow_type(f.dataType))
+                                   for f in schema.fields])
+            yield pa.RecordBatch.from_pydict(cols, schema=pa_schema)
+
+    return agg.mapInArrow(assemble, schema=schema)

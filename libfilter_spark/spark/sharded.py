@@ -191,7 +191,8 @@ def build_block_shards(df: DataFrame, key_col: str = "key",
 
 
 def block_groupby_bitor(df: DataFrame, key_col: str, num_buckets: int,
-                        shard_expr=None) -> DataFrame:
+                        shard_expr=None,
+                        lead_cols: list[str] | None = None) -> DataFrame:
     """The shared JVM bit_or aggregation: the block scatter-OR insert
     as a whole-stage-codegen ``groupBy([shard,] bucket).agg(bit_or)``.
     Per key, (bucket, 8 lane masks) are integer expressions
@@ -206,11 +207,13 @@ def block_groupby_bitor(df: DataFrame, key_col: str, num_buckets: int,
       the packed halves), so the aggregation state is 4 longs/bucket.
 
     Map-side partial combine runs before the shuffle: volume is one
-    row per DISTINCT (shard, bucket) per task (≤ filter size), and
+    row per DISTINCT (lead..., bucket) per task (≤ filter size), and
     Python only ever sees the reduced nonzero-bucket rows. Returns
-    ([__shard,] b, p0..p3, cnt); ``shard_expr`` (a Column) routes
+    ([lead...,] b, p0..p3, cnt). ``shard_expr`` (a Column) routes
     buckets of INDEPENDENT per-shard filters (the taffy-block forest);
-    without it buckets index ONE global filter."""
+    ``lead_cols`` carries arbitrary grouping columns (one independent
+    filter per group — the huge grouped block build); without either,
+    buckets index ONE global filter."""
     if isinstance(df.schema[key_col].dataType, BinaryType):
         b_expr = (f"shiftright(cast(conv(hex(substring({key_col},1,4)),"
                   f"16,10) as bigint) * {num_buckets}, 32)")
@@ -220,7 +223,14 @@ def block_groupby_bitor(df: DataFrame, key_col: str, num_buckets: int,
         b_expr = (f"shiftright(shiftrightunsigned(cast({key_col} as "
                   f"bigint), 32) * {num_buckets}, 32)")
         hlo_expr = f"cast({key_col} as bigint) & 4294967295"
-    lead = [shard_expr.alias(SHARD_COL)] if shard_expr is not None else []
+    if shard_expr is not None:
+        lead = [shard_expr.alias(SHARD_COL)]
+        lead_names = [SHARD_COL]
+    elif lead_cols:
+        lead = [F.col(c) for c in lead_cols]
+        lead_names = list(lead_cols)
+    else:
+        lead, lead_names = [], []
     base = (df.where(F.col(key_col).isNotNull())
             .select(*lead,
                     F.expr(b_expr).alias("b"),
@@ -238,7 +248,7 @@ def block_groupby_bitor(df: DataFrame, key_col: str, num_buckets: int,
     pairs = [F.expr(f"{mask(seeds[2 * i])} | "
                     f"shiftleft({mask(seeds[2 * i + 1])}, 32)")
              .alias(f"p{i}") for i in range(4)]
-    gb = ([SHARD_COL] if shard_expr is not None else []) + ["b"]
+    gb = lead_names + ["b"]
     return (base.select(*gb, *pairs)
             .groupBy(*gb)
             .agg(*[F.bit_or(f"p{i}").alias(f"p{i}") for i in range(4)],

@@ -113,3 +113,37 @@ def test_build_strategy_override_pins_partials(spark, monkeypatch):
     assert "__shard" not in pinned.columns
     rows = pinned.collect()
     assert len(rows) == 1 and rows[0]["family"] == "block"
+
+
+def test_grouped_block_jvm_engine_byte_identical(spark):
+    """Huge grouped block builds route through the JVM bit_or engine
+    (round-4): per-group blobs must be byte-identical to the streamed
+    applyInArrow bulk build, and the public router must pick it past
+    the 10M-ndv crossover."""
+    from libfilter_spark.spark.build import (_build_grouped,
+                                             _build_grouped_block_jvm,
+                                             _result_schema)
+    import json as _json
+    n = 40_000
+    base = spark.range(n).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("string").alias("content"))
+    keys = with_content_key_bin(base, "content").select("g", "key")
+    proj = keys.select("g", "key")
+    params = _json.dumps({"ndv": 20_000, "fpp": 0.01})
+    jvm = _build_grouped_block_jvm(proj, ["g"], "key", 20_000, 0.01,
+                                   params, _result_schema(proj, ["g"]))
+    arrow = _build_grouped(keys, ["g"], "key", "block", 20_000, 0.01)
+    f_jvm = {r["g"]: (bytes(r["filter"]), r["n_keys"])
+             for r in jvm.collect()}
+    f_arr = {r["g"]: (bytes(r["filter"]), r["n_keys"])
+             for r in arrow.collect()}
+    assert f_jvm == f_arr and len(f_jvm) == 3
+    # public router: grouped block past both thresholds -> jvm path,
+    # zero FN through the grouped probe
+    filters = build_filters(keys, ["g"], ndv=12_000_000, fpp=0.01)
+    filters.cache().count()
+    found = probe_with_filters(keys, filters, ["g"]) \
+        .where("maybe_seen").count()
+    assert found == n
+    filters.unpersist()
