@@ -170,6 +170,33 @@ class TaffyBlockFilter:
             off += ln
         return cls(ndv0, fpp, levels, ttl, last_ndv)
 
+    @classmethod
+    def deserialize_view(cls, buf) -> "TaffyBlockFilter":
+        """Zero-copy probe-only deserialization: levels are read-only
+        uint32 VIEWS into ``buf`` (bytes, memoryview, or a /dev/shm
+        memmap — the broadcast-probe path shares ONE page-cached copy
+        across N python workers instead of N private multi-100-MB
+        deserialized stacks). Level offsets in the serialized layout
+        are 8-aligned by construction (40 B header, 8 B length
+        prefixes, 32 B-multiple level blobs), so the kernel's uint64
+        lane views apply directly. Do NOT mutate (add_hashes) a viewed
+        filter — probe only."""
+        mv = memoryview(buf)
+        if bytes(mv[:4]) != _MAGIC:
+            raise ValueError("not a taffy block filter blob")
+        ndv0, fpp, cursor, ttl, last_ndv = struct.unpack_from(
+            "<QdIqQ", mv, 4)
+        off = 4 + struct.calcsize("<QdIqQ")
+        levels = []
+        for _ in range(cursor):
+            (ln,) = struct.unpack_from("<Q", mv, off)
+            off += 8
+            levels.append(np.frombuffer(mv, dtype="<u4", count=ln // 4,
+                                        offset=off))
+            off += ln
+        return cls(int(ndv0), float(fpp), levels, int(ttl),
+                   int(last_ndv))
+
     def size_in_bytes(self) -> int:
         return sum(K.size_in_bytes(lvl) for lvl in self.levels)
 

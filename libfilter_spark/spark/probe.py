@@ -111,15 +111,13 @@ def _assembled_block_bytes(slice_blobs: list[bytes]) -> bytes:
     return bytes(out)
 
 
-def _block_via_shm(token: str, g, blob: bytes):
+def _shm_blob(token: str, g, blob: bytes) -> "np.memmap":
     """Write the blob once to /dev/shm (atomic rename; first writer
-    wins) and back the BlockFilter with a read-only memmap."""
+    wins) and return a read-only byte memmap — N python workers then
+    share ONE page-cached copy."""
     import hashlib
 
-
     import numpy as np
-
-    from ..filters.block import BlockFilter
 
     name = hashlib.sha256(
         (token + repr(g)).encode()).hexdigest()[:24]
@@ -138,8 +136,22 @@ def _block_via_shm(token: str, g, blob: bytes):
         with open(tmp, "wb") as fh:
             fh.write(blob)
         os.replace(tmp, path)
-    arr = np.memmap(path, dtype=np.uint32, mode="r")
-    return BlockFilter(arr)
+    return np.memmap(path, dtype=np.uint8, mode="r")
+
+
+def _filter_via_shm(token: str, g, fam: str, blob: bytes):
+    """shm-backed zero-copy deserialization for the families whose
+    probe state is flat arrays (block: the raw u4 array; taffy_block:
+    read-only level views via deserialize_view)."""
+    import numpy as np
+
+    from ..filters.block import BlockFilter
+    from ..filters.taffy_block import TaffyBlockFilter
+
+    arr = _shm_blob(token, g, blob)
+    if fam == "block":
+        return BlockFilter(arr.view(np.uint32))
+    return TaffyBlockFilter.deserialize_view(arr)
 
 
 def _materialize(bc) -> dict:
@@ -155,9 +167,10 @@ def _materialize(bc) -> dict:
                 # into ONE BlockFilter per worker (plain global probe —
                 # no shard column, no per-batch groupby)
                 fam, blob = "block", _assembled_block_bytes(blob)
-            if fam == "block" and use_shm and len(blob) >= _SHM_MIN_BYTES:
+            if fam in ("block", "taffy_block") and use_shm \
+                    and len(blob) >= _SHM_MIN_BYTES:
                 try:
-                    cached[g] = _block_via_shm(token, g, blob)
+                    cached[g] = _filter_via_shm(token, g, fam, blob)
                     continue
                 except OSError:
                     pass  # shm full/unwritable → private copy

@@ -147,3 +147,37 @@ def test_grouped_block_jvm_engine_byte_identical(spark):
         .where("maybe_seen").count()
     assert found == n
     filters.unpersist()
+
+
+def test_filter_via_shm_zero_copy_equivalent():
+    """The shm memmap path (what a worker runs past _SHM_MIN_BYTES)
+    must probe identically to the private-copy deserialize for both
+    covered families — block (raw u4 view) and taffy_block (grown
+    multi-level stack via deserialize_view). No Spark: _materialize's
+    worker-side branch is exercised directly."""
+    import os
+    import uuid
+
+    import numpy as np
+    import pytest as _pytest
+
+    if not os.path.isdir("/dev/shm"):
+        _pytest.skip("no /dev/shm")
+    from libfilter_spark.filters import BlockFilter, TaffyBlockFilter
+    from libfilter_spark.kernels.keys import splitmix64
+    from libfilter_spark.spark.probe import _filter_via_shm
+    keys = splitmix64(30_000, seed=3)
+    absent = splitmix64(60_000, seed=3)[30_000:]
+    token = uuid.uuid4().hex
+    bf = BlockFilter.create_with_ndv_fpp(30_000, 0.01)
+    bf.add_hashes(keys)
+    tbf = TaffyBlockFilter.create(64, 0.01)
+    tbf.add_hashes(keys)  # grown: multi-level
+    for fam, f in (("block", bf), ("taffy_block", tbf)):
+        g = _filter_via_shm(token, (fam,), fam, f.serialize())
+        assert g.find_hashes(keys).all()
+        assert np.array_equal(g.find_hashes(absent),
+                              f.find_hashes(absent))
+        # second call (another worker) reuses the same shm file
+        h = _filter_via_shm(token, (fam,), fam, f.serialize())
+        assert h.find_hashes(keys).all()

@@ -84,3 +84,22 @@ def test_merge_requires_same_schedule():
     if (a.ndv0, a.fpp_goal) != (b.ndv0, b.fpp_goal):
         with pytest.raises(ValueError):
             a.union(b)
+
+
+def test_deserialize_view_probe_equivalent():
+    """Zero-copy view deserialization (shm probe path): identical
+    probe results to the copying deserialize on a GROWN multi-level
+    stack, without mutating the underlying buffer."""
+    import numpy as np
+
+    from libfilter_spark.filters import TaffyBlockFilter
+    from libfilter_spark.kernels.keys import splitmix64
+    f = TaffyBlockFilter.create(64, 0.01)
+    keys = splitmix64(50_000, seed=5)
+    f.add_hashes(keys)  # forces many upsizes
+    blob = f.serialize()
+    g = TaffyBlockFilter.deserialize_view(blob)
+    assert g.cursor == f.cursor and g.ttl == f.ttl
+    assert g.find_hashes(keys).all()
+    absent = splitmix64(100_000, seed=5)[50_000:]
+    assert np.array_equal(g.find_hashes(absent), f.find_hashes(absent))
