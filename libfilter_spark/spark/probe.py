@@ -28,11 +28,14 @@ from .build import _keys_from_series
 _FILTER_CACHE: dict[str, dict] = {}
 _FILTER_CACHE_MAX = 16
 
-# block filters at least this big are materialized once into /dev/shm
-# and memory-mapped: N python workers then share ONE page-cached copy
-# instead of N private 10s-of-MB deserialized arrays (the private
-# copies were measured to thrash cache at 32 workers x 80 MB)
+# filter maps at least this big (in total) are materialized once into
+# /dev/shm and memory-mapped: N python workers then share ONE
+# page-cached copy instead of N private 10s-to-100s-of-MB deserialized
+# arrays (measured to thrash cache at 32 workers x 80 MB). Individual
+# blobs below the floor stay private copies (file-count hygiene).
 _SHM_MIN_BYTES = int(os.environ.get("LIBFILTER_SHM_MIN", 32 << 20))
+_SHM_BLOB_FLOOR = int(os.environ.get("LIBFILTER_SHM_BLOB_FLOOR",
+                                     256 << 10))
 
 
 def collect_filters(filters_df: DataFrame, group_cols: list[str]) -> dict:
@@ -160,7 +163,14 @@ def _materialize(bc) -> dict:
     cached = _FILTER_CACHE.get(token)
     if cached is None:
         cached = {}
-        use_shm = os.path.isdir("/dev/shm")
+        # shm triggers on the TOTAL map size (a forest of 128 x 4 MB
+        # shards costs each worker as much private memory as one
+        # 512 MB filter would), with a per-blob floor so 10^4 tiny
+        # groups don't explode into 10^4 shm files
+        total = sum(len(b) if isinstance(b, (bytes, bytearray))
+                    else sum(len(x) for x in b)
+                    for _, b in filter_map.values())
+        use_shm = os.path.isdir("/dev/shm") and total >= _SHM_MIN_BYTES
         for g, (fam, blob) in filter_map.items():
             if fam == "block_slice_set":
                 # shard-frame fast path: assemble the disjoint slices
@@ -168,7 +178,7 @@ def _materialize(bc) -> dict:
                 # no shard column, no per-batch groupby)
                 fam, blob = "block", _assembled_block_bytes(blob)
             if fam in ("block", "taffy_block") and use_shm \
-                    and len(blob) >= _SHM_MIN_BYTES:
+                    and len(blob) >= _SHM_BLOB_FLOOR:
                 try:
                     cached[g] = _filter_via_shm(token, g, fam, blob)
                     continue
