@@ -957,11 +957,15 @@ def q_fpp_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_absent = absent.count()
     out = []
     for family in ("block", "bloom", "taffy_block"):
+        # cache the ONE-ROW filters frame: the audit reads it twice
+        # (blob size + probe broadcast) and an uncached frame re-runs
+        # the whole build per read
         filters = build_filters(build, None, family=family,
-                                ndv=max(n_build, 1024), fpp=0.01)
+                                ndv=max(n_build, 1024), fpp=0.01).cache()
         row = filters.collect()[0]
         hits = probe_with_filters(absent, filters, None) \
             .where("maybe_seen").count()
+        filters.unpersist()
         measured = hits / max(n_absent, 1)
         fbytes = len(row["filter"])
         if family == "bloom":
