@@ -960,8 +960,12 @@ def q_fpp_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cache the ONE-ROW filters frame: the audit reads it twice
         # (blob size + probe broadcast) and an uncached frame re-runs
         # the whole build per read
+        # strategy pinned: the audit's model check reads ONE blob's
+        # byte length — a size-routed block_slice shard frame would
+        # make fbytes one slice and the check silently lenient
         filters = build_filters(build, None, family=family,
-                                ndv=max(n_build, 1024), fpp=0.01).cache()
+                                ndv=max(n_build, 1024), fpp=0.01,
+                                strategy="partials").cache()
         row = filters.collect()[0]
         hits = probe_with_filters(absent, filters, None) \
             .where("maybe_seen").count()

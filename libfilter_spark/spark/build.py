@@ -146,6 +146,15 @@ def build_filters(df: DataFrame, group_cols: list[str] | None,
         strategy = select_build_strategy(family, bool(group_cols), ndv, fpp)
     elif strategy not in ("partials", "sharded", "grouped_bulk"):
         raise ValueError(f"unknown build strategy {strategy!r}")
+    if strategy == "sharded" and (group_cols or family != "block"):
+        # build_block_shards is the GLOBAL block scale path only — a
+        # pinned sharded override with group columns or another family
+        # would silently build one groupless block shard frame
+        raise ValueError(
+            "strategy='sharded' builds one global block filter: pass no "
+            f"group_cols (got {group_cols!r}) and family='block' (got "
+            f"{family!r}); grouped/non-block large builds route via "
+            "'grouped_bulk'")
     if family == "static_xor":
         strategy = "grouped_bulk"  # construct needs all keys in one task
     if strategy == "grouped_bulk":
@@ -401,12 +410,16 @@ def _build_grouped_block_jvm(proj: DataFrame, group_cols: list[str],
             ps = [batch.column(f"p{i}").to_numpy(zero_copy_only=False)
                   .view(np.uint64) for i in range(4)]
             import numpy as _np
-            # collision-free per-column factorization → combined code
+            # collision-free per-column factorization → combined code.
+            # pd.factorize (use_na_sentinel=False) assigns null group
+            # values a real code — np.unique would try to SORT an
+            # object array containing None and raise TypeError.
             gkey = _np.zeros(batch.num_rows, dtype=_np.int64)
             for col in gvals:
-                u, inv = _np.unique(_np.asarray(col, dtype=object),
-                                    return_inverse=True)
-                gkey = gkey * _np.int64(len(u)) + inv.astype(_np.int64)
+                inv, u = pd.factorize(_np.asarray(col, dtype=object),
+                                      use_na_sentinel=False)
+                gkey = gkey * _np.int64(max(len(u), 1)) \
+                    + inv.astype(_np.int64)
             order = _np.argsort(gkey, kind="stable")
             bounds = _np.flatnonzero(_np.diff(gkey[order])) + 1
             for seg in _np.split(order, bounds):

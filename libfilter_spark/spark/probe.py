@@ -99,6 +99,33 @@ def _collect_filters_auto(filters_df: DataFrame,
     return out
 
 
+def _collect_shard_rows_auto(filters_df: DataFrame) -> list | None:
+    """auto-mode collect policy for SHARD frames (None ⇒ over budget,
+    caller falls back to the shuffle probe). Mirrors
+    _collect_filters_auto: the budget must be enforced BEFORE the
+    blobs land in driver memory — an over-budget forest is the exact
+    case the budget exists for. Cached frames pay a cheap length-agg
+    pre-check (re-reading a cached frame is free); uncached frames use
+    a budgeted toLocalIterator so a rebuild-per-action frame is read
+    once with driver memory bounded at any shard count."""
+    sel = filters_df.select("__shard", "params", "family", "filter")
+    sl = filters_df.storageLevel
+    if sl.useMemory or sl.useDisk:
+        total = filters_df.agg(
+            F.sum(F.length("filter"))).collect()[0][0] or 0
+        if total > _BROADCAST_MAX:
+            return None
+        return sel.collect()
+    rows: list = []
+    total = 0
+    for r in sel.toLocalIterator(prefetchPartitions=True):
+        total += len(r["filter"])
+        if total > _BROADCAST_MAX:
+            return None
+        rows.append(r)
+    return rows
+
+
 def _assembled_block_bytes(slice_blobs: list[bytes]) -> bytes:
     """Concatenate disjoint block_slice blobs into the raw LE-u32 byte
     array of the GLOBAL filter (missing shards = zero ranges = no keys),
@@ -246,17 +273,24 @@ def probe_with_filters(df: DataFrame, filters_df: DataFrame,
             shard_col = "__shard"
             return _probe_via_cogroup(probe, filters_df, [shard_col],
                                       key_col, result_col).drop(shard_col)
-        rows = filters_df.select("__shard", "params", "family",
-                                 "filter").collect()
+        if via == "auto":
+            rows = _collect_shard_rows_auto(filters_df)
+            if rows is None:  # over budget: blobs never hit the driver
+                row = filters_df.select("params").first()
+                if row is None:
+                    return df.withColumn(result_col, F.lit(False))
+                p = _json.loads(row["params"])
+                probe = _with_route_shard(df, key_col, p)
+                shard_col = "__shard"
+                return _probe_via_cogroup(probe, filters_df, [shard_col],
+                                          key_col,
+                                          result_col).drop(shard_col)
+        else:  # via == "broadcast": caller pinned the driver hop
+            rows = filters_df.select("__shard", "params", "family",
+                                     "filter").collect()
         if not rows:  # empty build side: nothing can match
             return df.withColumn(result_col, F.lit(False))
         p = _json.loads(rows[0]["params"])
-        total = sum(len(r["filter"]) for r in rows)
-        if via == "auto" and total > _BROADCAST_MAX:
-            probe = _with_route_shard(df, key_col, p)
-            shard_col = "__shard"
-            return _probe_via_cogroup(probe, filters_df, [shard_col],
-                                      key_col, result_col).drop(shard_col)
         if p.get("routing") == "bucket_range":
             # worker-side slice assembly: the grouped shard probe pays
             # a JVM shard column + per-batch pandas groupby; assembling
@@ -357,8 +391,20 @@ def _probe_via_cogroup(df: DataFrame, filters_df: DataFrame,
         probe_keys = df.select(*group_cols, key_col)
         fdf = filters_df
     else:
-        probe_keys = df.select(key_col).withColumn("__g", F.lit(0))
-        fdf = filters_df.withColumn("__g", F.lit(0))
+        # GLOBAL frame: a single __g=0 group would serialize the whole
+        # probe into ONE task. Salt instead: keys bucket by a JVM-side
+        # key hash and the blob row replicates to every bucket, so all
+        # R tasks probe in parallel (R x blob bytes of shuffle — the
+        # price of a driverless probe of one huge blob; frames the
+        # build router sharded never reach here).
+        R = max(1, int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32")))
+        probe_keys = df.select(key_col).withColumn(
+            "__g", F.pmod(F.xxhash64(F.col(key_col)),
+                          F.lit(R)).cast("long"))
+        fdf = filters_df.withColumn(
+            "__g", F.explode(F.sequence(F.lit(0).cast("long"),
+                                        F.lit(R - 1).cast("long"))))
     probe_keys = probe_keys.where(F.col(key_col).isNotNull()) \
         .dropDuplicates(gcols + [key_col])
     out_schema = StructType(

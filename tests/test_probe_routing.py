@@ -149,6 +149,83 @@ def test_grouped_block_jvm_engine_byte_identical(spark):
     filters.unpersist()
 
 
+def test_sharded_override_validation(spark):
+    """Round-4 ADVICE low: a pinned strategy='sharded' with group
+    columns or a non-block family must error, not silently build one
+    groupless block shard frame."""
+    base = spark.range(100).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.col("id").cast("string").alias("content"))
+    keys = with_content_key_bin(base, "content").select("g", "key")
+    with pytest.raises(ValueError, match="sharded"):
+        build_filters(keys, ["g"], strategy="sharded")
+    with pytest.raises(ValueError, match="sharded"):
+        build_filters(keys.select("key"), None, family="taffy_block",
+                      strategy="sharded")
+
+
+def test_grouped_block_jvm_null_group(spark):
+    """Round-4 ADVICE medium: a null group value must not crash the
+    JVM engine's assemble (np.unique cannot sort None); blobs must
+    stay byte-identical to the streamed bulk build, null group
+    included."""
+    import json as _json
+
+    from libfilter_spark.spark.build import (_build_grouped,
+                                             _build_grouped_block_jvm,
+                                             _result_schema)
+    base = spark.range(9_000).select(
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise((F.col("id") % 3).cast("string")).alias("g"),
+        F.col("id").cast("string").alias("content"))
+    keys = with_content_key_bin(base, "content").select("g", "key")
+    params = _json.dumps({"ndv": 4_000, "fpp": 0.01})
+    jvm = _build_grouped_block_jvm(keys, ["g"], "key", 4_000, 0.01,
+                                   params,
+                                   _result_schema(keys, ["g"]))
+    arrow = _build_grouped(keys, ["g"], "key", "block", 4_000, 0.01)
+    f_jvm = {r["g"]: (bytes(r["filter"]), r["n_keys"])
+             for r in jvm.collect()}
+    f_arr = {r["g"]: (bytes(r["filter"]), r["n_keys"])
+             for r in arrow.collect()}
+    assert f_jvm == f_arr
+    assert None in f_jvm and len(f_jvm) == 3
+
+
+def test_shard_frame_auto_overbudget_stays_off_driver(spark,
+                                                      monkeypatch):
+    """Round-4 ADVICE medium: an over-budget shard frame must fall
+    back to the shuffle probe WITHOUT first collecting every blob to
+    the driver. Both the cached (length-agg precheck) and uncached
+    (budgeted toLocalIterator) arms must agree with broadcast."""
+    import libfilter_spark.spark.probe as P
+    from libfilter_spark.spark.sharded import build_block_shards
+    base = spark.range(4_000).select(
+        F.col("id").cast("string").alias("content"))
+    keys = with_content_key_bin(base, "content").select("key")
+    shards = build_block_shards(keys, ndv=4_000, fpp=0.01, n_shards=4)
+    probe = spark.range(8_000).select(
+        F.col("id").cast("string").alias("content"))
+    probe_keys = with_content_key_bin(probe, "content") \
+        .select("key", "content")
+    expect = {r["content"]: r["maybe_seen"]
+              for r in probe_with_filters(probe_keys, shards, None,
+                                          via="broadcast").collect()}
+    assert all(expect[str(i)] for i in range(4_000))
+    monkeypatch.setattr(P, "_BROADCAST_MAX", 8)
+    # uncached arm: budgeted toLocalIterator stops within budget
+    got_uncached = {r["content"]: r["maybe_seen"]
+                    for r in probe_with_filters(probe_keys, shards,
+                                                None).collect()}
+    shards.cache().count()
+    got_cached = {r["content"]: r["maybe_seen"]
+                  for r in probe_with_filters(probe_keys, shards,
+                                              None).collect()}
+    shards.unpersist()
+    assert got_uncached == expect
+    assert got_cached == expect
+
+
 def test_filter_via_shm_zero_copy_equivalent():
     """The shm memmap path (what a worker runs past _SHM_MIN_BYTES)
     must probe identically to the private-copy deserialize for both
