@@ -182,6 +182,40 @@ def main() -> None:
     time_family("static_xor", lambda: StaticXorFilter.construct(fam_keys),
                 trials=2)  # the slowest build; 2 trials bound the round
 
+    # --- frozen-TCF forest serving (r5): the reference freezes TCFs
+    # for read-only probing (taffy-cuckoo.c:127-160, the HIBP shape) —
+    # measure the distributed probe against frozen vs live shards at
+    # equal answers (zero FN asserted both ways) -----------------------
+    from libfilter_spark.spark.forest import (build_filter_forest,
+                                              probe_with_forest)
+    n_forest = 2_000_000
+    try:
+        cpus_i = int(cpus)
+    except ValueError:
+        cpus_i = 16
+    fkeys = synth_keys(spark, n_forest)
+    fkeys.count()
+    for tag, frz in (("live", False), ("frozen", True)):
+        forest = build_filter_forest(fkeys, "key", "taffy_cuckoo",
+                                     ndv=n_forest, fpp=0.004,
+                                     n_shards=2 * cpus_i,
+                                     freeze=frz)
+        rows = forest.collect()
+        fdf = spark.createDataFrame(rows, forest.schema).cache()
+        fdf.count()
+        p = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            found = probe_with_forest(fkeys, fdf, "key") \
+                .where("maybe_seen").count()
+            p = min(p, time.perf_counter() - t0)
+            assert found == n_forest, (tag, found)
+        extras[f"tcf_forest_{tag}_probe_keys_per_sec"] = round(
+            n_forest / p)
+        extras[f"tcf_forest_{tag}_bytes"] = sum(
+            len(bytes(r["filter"])) for r in rows)
+        fdf.unpersist()
+
     # surface the latest north-rule scaling matrix (bench_scaling.py
     # writes BENCH/scaling.json) so the per-round BENCH record carries
     # the two-parallelism-level evidence

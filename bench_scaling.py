@@ -345,7 +345,8 @@ TBF build efficiency 2→8:
 {eff_fam(results, 'taffy_block'):.3f}; TCF build efficiency 2→8:
 {eff_fam(results, 'taffy_cuckoo'):.3f}.
 
-### What bounds the streamed forest at ≥8 cores (round-4 isolation)
+### What bounds the streamed forest at ≥8 cores (round-4 isolation,
+### CLOSED by the round-5 lever sweep — BENCH/forest_ipc.json)
 
 The round-4 one-pass build (repartition + mapInArrow streaming; no
 full-group materialization) made the forest FASTER at every
@@ -355,10 +356,25 @@ of cores. Control experiment (pure multiprocessing, no Spark, same
 kernels, 2 shards/worker): TCF inserts aggregate 1.55 → 8.33 → 27.5
 M keys/s at 2 → 8 → 32 workers; TBF 1.65 → 41.5 → 85.6. The kernels
 scale; the plateau is the shuffle + Arrow-IPC plumbing that streams
-8-byte keys into Python (consistent with the measured ~200 ns/key
-IPC cost of thin-row mapInArrow stages). On a real cluster that
-stream is executor-local and scales with executor count; in one box
-it shares a memory bus.
+8-byte keys into Python. On a real cluster that stream is
+executor-local and scales with executor count; in one box it shares
+a memory bus.
+
+Round 5 swept every per-row-plumbing lever (BENCH/forest_ipc.json,
+in-process A/B at 8M keys): fatter Arrow batches (65k→500k rows),
+collect_list packing (~64k keys/row, shuffle-free packing — the
+`arrow_packed` engine, kept and tested), int64 instead of binary
+shuffle rows, and shuffle compression off. None reaches 0.70 without
+worsening absolute throughput; binary-key `arrow` stays the fastest
+ABSOLUTE config at every parallelism. The stage decomposition pins
+the residual on the box, not the code: the shuffle leg alone scales
+0.64 from 2→8, and even the INSERT increment scales ~0.49 inside
+Spark while the identical kernels scale super-linearly in the
+Spark-free control — concurrent shuffle+IPC streams contend for
+memory bandwidth that the kernels alone do not saturate. Like the
+8→32 scatter wall below, this is a shared-memory-system artifact the
+2→8 pipeline numbers inherit; each real executor adds its own memory
+channels.
 
 ### taffy_block_jvm — the aggregation forest engine ({r2['families'].get('taffy_block_jvm', {}).get('n', 0):,} keys)
 

@@ -349,6 +349,17 @@ def _build_grouped(df: DataFrame, group_cols: list[str], key_col: str,
     if family == "block" and group_cols and ndv >= 10_000_000:
         return _build_grouped_block_jvm(proj, group_cols, key_col,
                                         ndv, fpp, params, schema)
+    # huge grouped TAFFY-BLOCK builds take the same engine: a
+    # pre-sized TBF never upsizes, so its state is one level-0 block
+    # array plus (ndv0, ttl, last_ndv) bookkeeping — the insert IS the
+    # block bit_or aggregation (see spark/forest.py
+    # _build_tbf_forest_jvm, which proved the equivalence for forest
+    # shards). 1.25x level-0 margin absorbs group-size jitter around
+    # the per-group ndv hint; a group overflowing it errors at
+    # assembly rather than silently mis-building.
+    if family == "taffy_block" and group_cols and ndv >= 10_000_000:
+        return _build_grouped_tbf_jvm(proj, group_cols, key_col,
+                                      ndv, fpp, params, schema)
 
     def bulk(table):
         # applyInArrow + zero-copy key extraction (see arrow_partials)
@@ -388,10 +399,61 @@ def _build_grouped_block_jvm(proj: DataFrame, group_cols: list[str],
     filters of the groups hashed to it, same bound as the streamed
     bulk path. Byte-identical to the applyInArrow bulk build on
     null-free keys (nulls are dropped here, as in every JVM engine)."""
+    from ..kernels.block import serialize as _ser
     from ..kernels.sizing import BUCKET_BYTES, block_bytes_needed
-    from .sharded import block_groupby_bitor
 
     num_buckets = max(1, block_bytes_needed(ndv, fpp) // BUCKET_BYTES)
+
+    def make_blob(sl: np.ndarray, count: int) -> tuple[str, bytes]:
+        return "block", _ser(np.ascontiguousarray(sl.view(np.uint32)))
+
+    return _grouped_bitor_assemble(proj, group_cols, key_col,
+                                   num_buckets, params, schema,
+                                   make_blob)
+
+
+def _build_grouped_tbf_jvm(proj: DataFrame, group_cols: list[str],
+                           key_col: str, ndv: int, fpp: float,
+                           params: str, schema) -> DataFrame:
+    """Grouped taffy_block build in Tungsten: pre-sized level-0 with a
+    1.25x margin over the per-group ndv hint (the aggregation is
+    orderless, so a group cannot upsize mid-build); groups past the
+    margin raise at assembly. Byte-identical to a streamed
+    create+add_hashes build at the same level-0 sizing (the forest jvm
+    engine's equivalence, tests/test_forest_onepass.py)."""
+    from ..filters.taffy_block import (TaffyBlockFilter, _level0_ndv,
+                                       _level_bytes)
+    from ..kernels import block as K
+
+    ndv0 = _level0_ndv(int(ndv * 1.25) + 64, fpp)
+    num_buckets = K.num_buckets_for(_level_bytes(ndv0, fpp, 0))
+
+    def make_blob(sl: np.ndarray, count: int) -> tuple[str, bytes]:
+        if count > ndv0:
+            raise ValueError(
+                f"group got {count} keys > level-0 capacity {ndv0}; a "
+                "real taffy_block would upsize — raise ndv or use the "
+                "streamed build (smaller ndv hint)")
+        level0 = np.ascontiguousarray(sl.view(np.uint32))
+        f = TaffyBlockFilter(ndv0, fpp, [level0], ttl=ndv0 - count,
+                             last_ndv=ndv0)
+        return "taffy_block", f.serialize()
+
+    return _grouped_bitor_assemble(proj, group_cols, key_col,
+                                   num_buckets, params, schema,
+                                   make_blob)
+
+
+def _grouped_bitor_assemble(proj: DataFrame, group_cols: list[str],
+                            key_col: str, num_buckets: int,
+                            params: str, schema,
+                            make_blob) -> DataFrame:
+    """Shared grouped JVM bit_or engine: run the insert as
+    ``groupBy(group, bucket).agg(bit_or)`` (whole-stage codegen, zero
+    keys into Python), then assemble each group's reduced
+    nonzero-bucket rows into a filter blob via ``make_blob``."""
+    from .sharded import block_groupby_bitor
+
     agg = block_groupby_bitor(proj, key_col, num_buckets,
                               lead_cols=group_cols) \
         .repartition(*group_cols)
@@ -436,17 +498,16 @@ def _build_grouped_block_jvm(proj: DataFrame, group_cols: list[str],
                     m[idx, i] = ps[i][seg]
                 counts[g] += int(cnt[seg].sum())
         if slices:
-            from ..kernels.block import serialize as _ser
             cols: dict[str, list] = {c: [] for c in out_names}
             for g, sl in slices.items():
+                fam, blob = make_blob(sl, counts[g])
                 for c, v in zip(group_cols, g):
                     cols[c].append(v)
-                cols["family"].append("block")
+                cols["family"].append(fam)
                 cols["params"].append(params)
                 cols["n_keys"].append(counts[g])
                 cols["n_partials"].append(1)
-                cols["filter"].append(
-                    _ser(np.ascontiguousarray(sl.view(np.uint32))))
+                cols["filter"].append(blob)
             from pyspark.sql.pandas.types import to_arrow_type
             pa_schema = pa.schema([(f.name, to_arrow_type(f.dataType))
                                    for f in schema.fields])

@@ -63,6 +63,89 @@ def test_one_pass_forest_zero_fn_and_one_row_per_shard(spark):
     forest.unpersist()
 
 
+def test_packed_forest_engine_matches_streamed(spark):
+    """Round-5: the collect_list-packed engine (fat Arrow rows) must
+    agree with the row-streamed engine on shard assignment and key
+    counts for every family, with zero FN through the shared probe
+    route and exactly one shuffle in the plan."""
+    from libfilter_spark.spark.forest import (build_filter_forest,
+                                              probe_with_forest)
+    from libfilter_spark.spark.keys import with_content_key_bin
+    n = 40_000
+    df = spark.range(n).withColumn("content", F.col("id").cast("string"))
+    keys = with_content_key_bin(df, "content").select("key")
+    nulls = spark.createDataFrame([(None,)], keys.schema)
+    with_null = keys.unionByName(nulls)
+    for family in ("taffy_cuckoo", "taffy_block",
+                   "minimal_taffy_cuckoo"):
+        packed = build_filter_forest(with_null, "key", family, ndv=n,
+                                     fpp=0.01, n_shards=8,
+                                     engine="arrow_packed").cache()
+        rows = packed.collect()
+        stream = build_filter_forest(keys, "key", family, ndv=n,
+                                     fpp=0.01, n_shards=8,
+                                     engine="arrow")
+        srows = stream.collect()
+        assert ({r["__shard"]: r["n_keys"] for r in rows}
+                == {r["__shard"]: r["n_keys"] for r in srows})
+        found = probe_with_forest(keys, packed, "key") \
+            .where("maybe_seen").count()
+        assert found == n, (family, found)
+        packed.unpersist()
+    plan = build_filter_forest(
+        keys, "key", "taffy_cuckoo", ndv=n, n_shards=8,
+        engine="arrow_packed")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1  # packing agg reuses the shard
+    # shuffle's partitioning — no second exchange
+
+
+def test_frozen_tcf_forest(spark):
+    """Round-5: freeze=True serves each TCF shard in the frozen SWAR
+    form (taffy-cuckoo.c:127-160) — zero FN across the freeze, blobs
+    smaller than the live filter's, family column flipped so the
+    shared probe route deserializes FrozenTaffyCuckooFilter, and both
+    broadcast and shuffle probe routes agree."""
+    from libfilter_spark.spark.forest import (build_filter_forest,
+                                              probe_with_forest)
+    from libfilter_spark.spark.keys import with_content_key_bin
+    from libfilter_spark.spark.probe import probe_with_filters
+    n = 30_000
+    df = spark.range(n).withColumn("content", F.col("id").cast("string"))
+    keys = with_content_key_bin(df, "content").select("key")
+    live = build_filter_forest(keys, "key", "taffy_cuckoo", ndv=n,
+                               fpp=0.01, n_shards=8).cache()
+    frozen = build_filter_forest(keys, "key", "taffy_cuckoo", ndv=n,
+                                 fpp=0.01, n_shards=8,
+                                 freeze=True).cache()
+    frows = frozen.collect()
+    assert all(r["family"] == "frozen_taffy_cuckoo" for r in frows)
+    lbytes = sum(len(bytes(r["filter"])) for r in live.collect())
+    fbytes = sum(len(bytes(r["filter"])) for r in frows)
+    assert fbytes < lbytes  # tails dropped, 10-bit fp packing
+    assert sum(r["n_keys"] for r in frows) == n
+    # zero FN across the freeze
+    found = probe_with_forest(keys, frozen, "key") \
+        .where("maybe_seen").count()
+    assert found == n
+    # shuffle route deserializes the frozen family per row too
+    s = probe_with_filters(keys, frozen, None, "key",
+                           via="shuffle").where("maybe_seen").count()
+    assert s == n
+    # packed engine freezes identically (counts; layout may differ)
+    fp = build_filter_forest(keys, "key", "taffy_cuckoo", ndv=n,
+                             fpp=0.01, n_shards=8, freeze=True,
+                             engine="arrow_packed").cache()
+    assert probe_with_forest(keys, fp, "key") \
+        .where("maybe_seen").count() == n
+    fp.unpersist()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="freeze"):
+        build_filter_forest(keys, "key", "taffy_block", freeze=True)
+    live.unpersist()
+    frozen.unpersist()
+
+
 def test_tbf_forest_jvm_engine_byte_identical(spark):
     """The jvm (bit_or aggregation) taffy_block forest engine must be
     byte-identical to the arrow (streamed numpy) engine at the SAME

@@ -149,6 +149,57 @@ def test_grouped_block_jvm_engine_byte_identical(spark):
     filters.unpersist()
 
 
+def test_grouped_tbf_jvm_engine_byte_identical(spark):
+    """Round-5 (verdict task 7): huge grouped taffy_block builds run
+    the insert as the JVM bit_or aggregation. Blobs must be
+    byte-identical to the streamed create+add_hashes build at the same
+    level-0 sizing, and the public router must pick the engine past
+    the 10M-ndv crossover."""
+    import json as _json
+
+    from libfilter_spark.filters.taffy_block import (_level0_ndv)
+    from libfilter_spark.spark.build import (_build_grouped,
+                                             _build_grouped_tbf_jvm,
+                                             _result_schema)
+    n, ndv = 30_000, 9_000
+    base = spark.range(n).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("string").alias("content"))
+    keys = with_content_key_bin(base, "content").select("g", "key")
+    params = _json.dumps({"ndv": ndv, "fpp": 0.01})
+    jvm = _build_grouped_tbf_jvm(keys, ["g"], "key", ndv, 0.01, params,
+                                 _result_schema(keys, ["g"]))
+    # streamed side gets the jvm engine's inflated level-0 hint so the
+    # sizing (and therefore the bytes) match exactly; a 10k-key group
+    # stays within level 0 either way
+    ndv0 = _level0_ndv(int(ndv * 1.25) + 64, 0.01)
+    arrow = _build_grouped(keys, ["g"], "key", "taffy_block",
+                           ndv0, 0.01)
+    f_jvm = {r["g"]: (bytes(r["filter"]), r["n_keys"], r["family"])
+             for r in jvm.collect()}
+    f_arr = {r["g"]: (bytes(r["filter"]), r["n_keys"], r["family"])
+             for r in arrow.collect()}
+    assert f_jvm == f_arr and len(f_jvm) == 3
+    assert all(fam == "taffy_block" for _, _, fam in f_jvm.values())
+    # public router: grouped taffy_block past the crossover -> jvm
+    # engine, zero FN through the grouped probe
+    filters = build_filters(keys, ["g"], family="taffy_block",
+                            ndv=12_000_000, fpp=0.01)
+    filters.cache().count()
+    found = probe_with_filters(keys, filters, ["g"]) \
+        .where("maybe_seen").count()
+    assert found == n
+    filters.unpersist()
+    # a group overflowing the pre-sized level 0 raises, never
+    # silently mis-builds
+    tiny_params = _json.dumps({"ndv": 64, "fpp": 0.01})
+    bad = _build_grouped_tbf_jvm(keys, ["g"], "key", 64, 0.01,
+                                 tiny_params,
+                                 _result_schema(keys, ["g"]))
+    with pytest.raises(Exception, match="level-0 capacity"):
+        bad.collect()
+
+
 def test_sharded_override_validation(spark):
     """Round-4 ADVICE low: a pinned strategy='sharded' with group
     columns or a non-block family must error, not silently build one

@@ -96,6 +96,10 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     names = sys.argv[2:] or [n for n in qs if n in oracles]
+    # the 8 recorded-golden queries additionally verify against an
+    # INDEPENDENT second implementation (tools/independent_oracles.py)
+    # so the oracle is not the code under test
+    from independent_oracles import COMPUTERS as INDEP
     failures = 0
     for name in names:
         if name not in oracles:
@@ -108,9 +112,17 @@ def main() -> int:
             status = "OK" if (rows and schema and vals) else "FAIL"
             if status == "FAIL":
                 failures += 1
+            indep = ""
+            if name in INDEP and sf_dir.rstrip("/").endswith("sf0.01"):
+                cols, irows = INDEP[name](sf_dir)
+                indep_pdf = pd.DataFrame(irows, columns=cols)
+                ir, isch, iv = compare(spark_pdf, indep_pdf)
+                indep = f" independent={'OK' if (ir and isch and iv) else 'FAIL'}"
+                if not (ir and isch and iv):
+                    failures += 1
             print(f"{name}: {status} rows_match={rows} "
                   f"schema_match={schema} hash_match={vals} "
-                  f"({len(spark_pdf)} rows)")
+                  f"({len(spark_pdf)} rows){indep}")
         except Exception as exc:  # noqa: BLE001
             failures += 1
             print(f"{name}: ERROR {exc}")
