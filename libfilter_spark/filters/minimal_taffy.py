@@ -49,6 +49,14 @@ TAIL = 5
 SLOTS = 4
 TAIL_MASK = (1 << (TAIL + 1)) - 1
 
+# slot-preference LUT for _place_vec: row p (a 4-bit empty pattern) is
+# the stable argsort of [not e0 .. not e3] — empty slots first, each
+# group in index order. Replaces a per-call (n_buckets, 4) argsort.
+_PAT_W = (1 << np.arange(SLOTS)).astype(np.int64)
+_SLOT_LUT = np.array(
+    [sorted(range(SLOTS), key=lambda i, p=p: (not (p >> i) & 1, i))
+     for p in range(1 << SLOTS)], dtype=np.int64)
+
 ENTROPY24 = (
     0x2BA7538EE1234073, 0xFCC3777539B147D6, 0x6086C563576347E7,
     0x52EFF34EE1764465, 0x8639CBF57F264867, 0x5A31EE34F0224CCB,
@@ -621,15 +629,26 @@ class MinimalTaffyCuckooFilter:
         gb = level * side.stride + bucket
         order = np.argsort(gb, kind="stable")
         g_sorted = gb[order]
-        uniq, start, counts = np.unique(g_sorted, return_index=True,
-                                        return_counts=True)
+        # group boundaries straight off the sorted array — np.unique
+        # would argsort a second time (profiled ~10% of the whole
+        # build); starts/counts from the diff are equivalent
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        np.not_equal(g_sorted[1:], g_sorted[:-1], out=new_grp[1:])
+        start = np.flatnonzero(new_grp)
+        uniq = g_sorted[start]
+        counts = np.diff(np.append(start, n))
         empty_mask = (side.data[uniq] >> 10) == 0
         n_empty = empty_mask.sum(axis=1)
         rank = np.arange(n) - np.repeat(start, counts)
         k_per = np.repeat(np.minimum(n_empty, counts), counts)
         sel = rank < k_per
         if sel.any():
-            slot_order = np.argsort(~empty_mask, axis=1, kind="stable")
+            # slot preference per bucket = pure function of the 4-bit
+            # empty pattern — a 16-row LUT replaces the per-call
+            # (u, 4) stable argsort
+            pat = empty_mask @ _PAT_W
+            slot_order = _SLOT_LUT[pat]
             u_idx = np.repeat(np.arange(len(uniq)), counts)
             rows = uniq[u_idx[sel]]
             slots = slot_order[u_idx[sel], rank[sel]]

@@ -139,22 +139,29 @@ def build_filter_forest(df: DataFrame, key_col: str = "key",
         import pyarrow as pa
 
         from ..kernels.keys import keys_from_arrow, shard_of_keys
-        filters: dict[int, object] = {}
-        counts: dict[int, int] = {}
+        # buffer each shard's keys and insert ONCE per shard at stream
+        # end: add_hashes knows the full count upfront and pre-sizes to
+        # a low-load configuration, so the kick walk stays short. The
+        # per-65k-batch incremental pattern was measured 1.8× (TCF) to
+        # 2.5× (MTCF) slower per key — every call operates the filter
+        # at the ~0.9-occupancy growth edge. Transient cost: the task's
+        # key share at 8 B/key (vs the ~2 B/key filter), bounded by the
+        # same shard sizing that bounds the filter itself.
+        bufs: dict[int, list] = {}
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             keys = keys_from_arrow(batch.column(0))
             shards = shard_of_keys(keys, n_shards, binary=is_binary)
             for s in np.unique(shards):
-                s = int(s)
-                f = filters.get(s)
-                if f is None:
-                    f = filters[s] = cls.create(per_shard, fpp)
-                    counts[s] = 0
-                sel = shards == s
-                f.add_hashes(keys[sel])
-                counts[s] += int(sel.sum())
+                bufs.setdefault(int(s), []).append(keys[shards == s])
+        filters: dict[int, object] = {}
+        counts: dict[int, int] = {}
+        for s, chunks in bufs.items():
+            keys = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+            f = filters[s] = cls.create(per_shard, fpp)
+            f.add_hashes(keys)
+            counts[s] = len(keys)
         if filters:
             out_fam, blobs = _freeze_blobs(family, filters.values(),
                                            freeze)
@@ -223,8 +230,10 @@ def _build_forest_arrow_packed(df: DataFrame, key_col: str, family: str,
         import pyarrow as pa
 
         from ..kernels.keys import keys_from_arrow
-        filters: dict[int, object] = {}
-        counts: dict[int, int] = {}
+        # buffer per shard, insert once at stream end (see build_stream
+        # in build_filter_forest: incremental chunk inserts run the
+        # filter at its growth edge — measured 1.8-2.5× slower)
+        bufs: dict[int, list] = {}
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -237,13 +246,16 @@ def _build_forest_arrow_packed(df: DataFrame, key_col: str, family: str,
                 - (lists.offsets[0].as_py() or 0)
             for i in range(batch.num_rows):
                 s = int(shards[i])
-                keys = flat[offs[i]:offs[i + 1]]
-                f = filters.get(s)
-                if f is None:
-                    f = filters[s] = cls.create(per_shard, fpp)
-                    counts[s] = 0
-                f.add_hashes(keys)
-                counts[s] += len(keys)
+                bufs.setdefault(s, []).append(
+                    flat[offs[i]:offs[i + 1]].copy())
+        import numpy as np
+        filters: dict[int, object] = {}
+        counts: dict[int, int] = {}
+        for s, chunks in bufs.items():
+            keys = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+            f = filters[s] = cls.create(per_shard, fpp)
+            f.add_hashes(keys)
+            counts[s] = len(keys)
         if filters:
             out_fam, blobs = _freeze_blobs(family, filters.values(),
                                            freeze)
