@@ -784,6 +784,44 @@ def q_tcf_forest_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_price")))
 
 
+@_register(
+    "frozen_tcf_forest_semijoin_orders",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """)
+def q_frozen_tcf_forest_semijoin(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Frozen-forest semi-join — the reference's read-only serving
+    shape (``taffy-cuckoo.c:127-160`` freeze; HIBP serving,
+    ``taffy.tex:1791-1800``): TCF shards are frozen at build end
+    (tails dropped, 10-bit fingerprints SWAR-packed, ~40% smaller
+    broadcast blobs, faster probe), probes route by the same JVM shard
+    hash and run the frozen SWAR find. Zero FN across freeze by
+    construction; exact-verified, so DuckDB oracles it."""
+    from libfilter_spark.spark.forest import (build_filter_forest,
+                                              forest_semi_join)
+    customers = load_table(spark, sf_dir, "customer") \
+        .where("c_mktsegment = 'BUILDING'")
+    orders = load_table(spark, sf_dir, "orders")
+    build = _keyed(customers, "c_custkey")
+    probe = _keyed(orders, "o_custkey")
+    forest = build_filter_forest(build, "key", "taffy_cuckoo",
+                                 ndv=1 << 13, fpp=0.01, n_shards=8,
+                                 freeze=True)
+    hits = forest_semi_join(probe, build, forest, "key")
+    return (hits.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_price")))
+
+
 @_register("ann_ivf_recall")
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (trained centroids, the predictable-recall 100TB path:

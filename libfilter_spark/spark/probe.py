@@ -28,12 +28,30 @@ from .build import _keys_from_series
 _FILTER_CACHE: dict[str, dict] = {}
 _FILTER_CACHE_MAX = 16
 
+# driver-side broadcast reuse: (applicationId, content token) → the
+# live Broadcast handle, so repeated probes of an unchanged filters
+# frame skip the per-call broadcast dump (eviction only drops our
+# reference — Spark's ContextCleaner reclaims unreferenced broadcasts)
+_BC_CACHE: dict[tuple, object] = {}
+_BC_CACHE_MAX = 8
+
+# shard-frame probe memo: (appId, fingerprint) → (mode, broadcast,
+# params) — lets a repeat probe of an unchanged CACHED shard frame
+# skip the blob collect entirely (the fingerprint is a one-pass JVM
+# aggregation; see _probe_shard_frame)
+_SHARD_PROBE_CACHE: dict[tuple, tuple] = {}
+
 # filter maps at least this big (in total) are materialized once into
 # /dev/shm and memory-mapped: N python workers then share ONE
-# page-cached copy instead of N private 10s-to-100s-of-MB deserialized
-# arrays (measured to thrash cache at 32 workers x 80 MB). Individual
-# blobs below the floor stay private copies (file-count hygiene).
-_SHM_MIN_BYTES = int(os.environ.get("LIBFILTER_SHM_MIN", 32 << 20))
+# page-cached copy instead of N private deserialized arrays. Default
+# raised past the broadcast budget in round 5 — a direct shm-vs-private
+# A/B on a 110 MB TBF forest measured shm NEUTRAL at 8 workers and 40%
+# SLOWER at 32 (5.53 s vs 3.53 s per 4M-key probe, min-of-3; shared
+# tmpfs mappings contend where private heap copies do not), so within
+# the 256 MB broadcast budget private copies win outright. Lower
+# LIBFILTER_SHM_MIN on RSS-constrained executors to trade probe speed
+# for workers x map_bytes of resident memory.
+_SHM_MIN_BYTES = int(os.environ.get("LIBFILTER_SHM_MIN", 256 << 20))
 _SHM_BLOB_FLOOR = int(os.environ.get("LIBFILTER_SHM_BLOB_FLOOR",
                                      256 << 10))
 
@@ -141,6 +159,117 @@ def _assembled_block_bytes(slice_blobs: list[bytes]) -> bytes:
     return bytes(out)
 
 
+class _TbfForestProbe:
+    """Assembled probe view of a SINGLE-LEVEL taffy_block forest (the
+    jvm engine's shape: pre-sized shards that never upsized). All
+    shards share one level-0 bucket count, so the whole forest
+    concatenates into one (S × nb, 4) u64 matrix and a batch probes in
+    ONE vectorized pass: global bucket = shard × nb + level-0 bucket.
+    This removes the grouped route's per-batch pandas groupby and its
+    S tiny find_hashes calls — measured 875 ns/key there vs the
+    ~120 ns/key block-probe floor this path runs at."""
+
+    def __init__(self, n_shards: int, num_buckets: int,
+                 state64: "np.ndarray"):
+        self.n_shards = n_shards
+        self.num_buckets = num_buckets
+        self.b64 = state64.reshape(-1, 4)          # (S*nb, 4) u64
+
+    @classmethod
+    def assemble(cls, n_shards: int, shard_blobs: dict[int, bytes]):
+        """→ _TbfForestProbe, or None when the forest is not eligible
+        (multi-level shards or non-uniform level-0 sizes). Levels are
+        read through deserialize_view (zero-copy) so assembly costs
+        exactly one pass over the blobs."""
+        from ..filters.taffy_block import TaffyBlockFilter
+        from ..kernels import block as K
+        nb = None
+        levels: dict[int, np.ndarray] = {}
+        for s, blob in shard_blobs.items():
+            f = TaffyBlockFilter.deserialize_view(
+                np.frombuffer(blob, dtype=np.uint8))
+            if len(f.levels) != 1:
+                return None
+            lvl_nb = f.levels[0].size // K.WORDS_PER_BUCKET
+            if nb is None:
+                nb = lvl_nb
+            elif nb != lvl_nb:
+                return None
+            levels[s] = f.levels[0]
+        if nb is None:
+            return None
+        state = np.zeros(n_shards * nb * K.WORDS_PER_BUCKET,
+                         dtype=np.uint32)
+        span = nb * K.WORDS_PER_BUCKET
+        for s, lvl in levels.items():
+            state[s * span:(s + 1) * span] = lvl
+        return cls(n_shards, nb, state.view(np.uint64))
+
+    def find(self, keys: "np.ndarray", binary: bool) -> "np.ndarray":
+        from ..kernels import block as K
+        from ..kernels.keys import shard_of_keys
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        shards = shard_of_keys(keys, self.n_shards, binary=binary)
+        idx = K.bucket_index(keys, self.num_buckets).astype(np.int64) \
+            + shards * np.int64(self.num_buckets)
+        m64 = np.ascontiguousarray(K.make_masks(keys)).view(np.uint64)
+        g = self.b64[idx]
+        np.bitwise_and(g, m64, out=g)
+        return (g == m64).all(axis=1)
+
+
+def _tbf_level0_uniform(shard_blobs: dict[int, bytes]) -> bool:
+    """Driver-side eligibility for the assembled forest probe: every
+    shard single-level with one shared level-0 bucket count
+    (zero-copy header reads — no blob is materialized twice)."""
+    from ..filters.taffy_block import TaffyBlockFilter
+    nb = None
+    for blob in shard_blobs.values():
+        f = TaffyBlockFilter.deserialize_view(
+            np.frombuffer(blob, dtype=np.uint8))
+        if len(f.levels) != 1:
+            return False
+        if nb is None:
+            nb = f.levels[0].size
+        elif f.levels[0].size != nb:
+            return False
+    return nb is not None
+
+
+def _content_token(filter_map: dict) -> str:
+    """Stable executor-cache key for a collected filter map: digest of
+    every (group, family, blob bytes). blake2b keeps the driver-side
+    pass cheap (~100 ms per 100 MB) relative to the per-worker
+    deserialize/assembly it lets workers skip."""
+    import hashlib
+    h = hashlib.blake2b(digest_size=16)
+    for g in sorted(filter_map, key=repr):
+        fam, blob = filter_map[g]
+        h.update(repr((g, fam)).encode())
+        if isinstance(blob, (bytes, bytearray)):
+            h.update(blob)
+        elif isinstance(blob, tuple):  # (n_shards, {shard: blob})
+            h.update(str(blob[0]).encode())
+            for s in sorted(blob[1]):
+                h.update(str(s).encode())
+                h.update(blob[1][s])
+        else:  # list of slice blobs
+            for x in blob:
+                h.update(x)
+    return h.hexdigest()
+
+
+def _blob_bytes(blob) -> int:
+    """Total serialized bytes of one collected entry (bytes, a list of
+    slice blobs, or the (n_shards, {shard: blob}) forest tuple)."""
+    if isinstance(blob, (bytes, bytearray)):
+        return len(blob)
+    if isinstance(blob, tuple):
+        return sum(len(b) for b in blob[1].values())
+    return sum(len(x) for x in blob)
+
+
 def _shm_blob(token: str, g, blob: bytes) -> "np.memmap":
     """Write the blob once to /dev/shm (atomic rename; first writer
     wins) and return a read-only byte memmap — N python workers then
@@ -194,11 +323,16 @@ def _materialize(bc) -> dict:
         # shards costs each worker as much private memory as one
         # 512 MB filter would), with a per-blob floor so 10^4 tiny
         # groups don't explode into 10^4 shm files
-        total = sum(len(b) if isinstance(b, (bytes, bytearray))
-                    else sum(len(x) for x in b)
-                    for _, b in filter_map.values())
+        total = sum(_blob_bytes(b) for _, b in filter_map.values())
         use_shm = os.path.isdir("/dev/shm") and total >= _SHM_MIN_BYTES
         for g, (fam, blob) in filter_map.items():
+            if fam == "tbf_level0_set":
+                # single-level TBF forest: one concatenated probe
+                # matrix per worker (see _TbfForestProbe)
+                n_sh, shard_blobs = blob
+                cached[g] = _TbfForestProbe.assemble(n_sh, shard_blobs)
+                assert cached[g] is not None  # driver checked eligibility
+                continue
             if fam == "block_slice_set":
                 # shard-frame fast path: assemble the disjoint slices
                 # into ONE BlockFilter per worker (plain global probe —
@@ -263,62 +397,11 @@ def probe_with_filters(df: DataFrame, filters_df: DataFrame,
         raise ValueError(f"unknown probe route {via!r}")
     if not group_cols and "__shard" in filters_df.columns \
             and _collected is None:
-        import json as _json
-        if via == "shuffle":
-            row = filters_df.select("params").first()
-            if row is None:
-                return df.withColumn(result_col, F.lit(False))
-            p = _json.loads(row["params"])
-            probe = _with_route_shard(df, key_col, p)
-            shard_col = "__shard"
-            return _probe_via_cogroup(probe, filters_df, [shard_col],
-                                      key_col, result_col).drop(shard_col)
-        if via == "auto":
-            rows = _collect_shard_rows_auto(filters_df)
-            if rows is None:  # over budget: blobs never hit the driver
-                row = filters_df.select("params").first()
-                if row is None:
-                    return df.withColumn(result_col, F.lit(False))
-                p = _json.loads(row["params"])
-                probe = _with_route_shard(df, key_col, p)
-                shard_col = "__shard"
-                return _probe_via_cogroup(probe, filters_df, [shard_col],
-                                          key_col,
-                                          result_col).drop(shard_col)
-        else:  # via == "broadcast": caller pinned the driver hop
-            rows = filters_df.select("__shard", "params", "family",
-                                     "filter").collect()
-        if not rows:  # empty build side: nothing can match
-            return df.withColumn(result_col, F.lit(False))
-        p = _json.loads(rows[0]["params"])
-        if p.get("routing") == "bucket_range":
-            # worker-side slice assembly: the grouped shard probe pays
-            # a JVM shard column + per-batch pandas groupby; assembling
-            # the disjoint slices into one filter per worker and doing
-            # a PLAIN global probe was measured ~1.5x faster (1.07 s vs
-            # 1.57 s at 5M keys) — same bytes broadcast either way
-            collected = {(): ("block_slice_set",
-                              [bytes(r["filter"]) for r in rows])}
-            return probe_with_filters(df, filters_df, [], key_col,
-                                      result_col, _collected=collected)
-        from .forest import SHARD_COL, with_shard
-        collected = {(int(r["__shard"]),): (r["family"], bytes(r["filter"]))
-                     for r in rows}
-        probe = with_shard(df, key_col, int(p["n_shards"]))
-        return probe_with_filters(probe, filters_df, [SHARD_COL], key_col,
-                                  result_col,
-                                  _collected=collected).drop(SHARD_COL)
+        return _probe_shard_frame(df, filters_df, key_col, result_col,
+                                  via)
     if via == "shuffle":
         return _probe_via_cogroup(df, filters_df, group_cols, key_col,
                                   result_col)
-    spark = df.sparkSession
-    import uuid
-
-    import pyarrow as pa
-    from pyspark.sql.functions import ArrowUDFType, arrow_udf
-
-    from ..kernels.keys import keys_and_valid_from_arrow
-
     if _collected is not None:
         filter_map = _collected
     elif via == "broadcast":
@@ -328,7 +411,157 @@ def probe_with_filters(df: DataFrame, filters_df: DataFrame,
         if filter_map is None:  # over budget → keep filters distributed
             return _probe_via_cogroup(df, filters_df, group_cols,
                                       key_col, result_col)
-    bc = spark.sparkContext.broadcast((uuid.uuid4().hex, filter_map))
+    bc = _get_bc(df.sparkSession, filter_map)
+    return _broadcast_probe_udf(df, bc, group_cols, key_col, result_col)
+
+
+def _get_bc(spark, filter_map: dict):
+    """Broadcast a collected filter map under a CONTENT-digest cache
+    key, not a per-call uuid — repeated probes of the same filters
+    frame then reuse BOTH the driver-side broadcast (no re-dump of a
+    100 MB map per call) and the worker-side deserialized/assembled
+    state (no workers × map_bytes of rebuild memcpy per call; measured
+    as the dominant cost of re-probing a 110 MB assembled forest)."""
+    token = _content_token(filter_map)
+    sc = spark.sparkContext
+    cache_key = (sc.applicationId, token)
+    bc = _BC_CACHE.get(cache_key)
+    if bc is None:
+        bc = sc.broadcast((token, filter_map))
+        while len(_BC_CACHE) >= _BC_CACHE_MAX:
+            # drop OUR reference only — plans still holding the evicted
+            # broadcast keep it alive; ContextCleaner reclaims it when
+            # the last reference goes
+            _BC_CACHE.pop(next(iter(_BC_CACHE)))
+        _BC_CACHE[cache_key] = bc
+    return bc
+
+
+def _probe_shard_frame(df: DataFrame, filters_df: DataFrame,
+                       key_col: str, result_col: str,
+                       via: str) -> DataFrame:
+    """GLOBAL probe against a distributed shard frame (block shards /
+    filter forest). Routes by shape:
+
+    - ``bucket_range`` slices and single-level TBF forests assemble
+      into ONE probe object per worker (plain global probe — measured
+      ~1.5× over the grouped route for slices, ~3× for TBF forests:
+      no JVM shard column, no per-batch pandas groupby);
+    - other forests probe through the grouped route on a JVM-derived
+      shard column;
+    - over-budget frames (or via='shuffle') keep blobs off the driver
+      entirely via the cogroup route.
+
+    A CACHED frame pays a one-pass JVM fingerprint aggregation first
+    (count + content xxhash64 + total bytes — no blob transfer);
+    repeat probes of an unchanged frame then skip the blob collect AND
+    the broadcast dump, reusing the recorded (mode, broadcast, params)
+    directly. Uncached frames keep the single-collect flow (a
+    fingerprint pass would recompute their whole upstream build)."""
+    import json as _json
+
+    spark = df.sparkSession
+    if via == "shuffle":
+        row = filters_df.select("params").first()
+        if row is None:
+            return df.withColumn(result_col, F.lit(False))
+        p = _json.loads(row["params"])
+        probe = _with_route_shard(df, key_col, p)
+        return _probe_via_cogroup(probe, filters_df, ["__shard"],
+                                  key_col, result_col).drop("__shard")
+
+    sl = filters_df.storageLevel
+    fp_key = None
+    if sl.useMemory or sl.useDisk:
+        agg = filters_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent and overflow-free (ANSI-safe);
+            # shard id inside the hash keeps equal blobs at different
+            # shards from cancelling
+            F.bit_xor(F.xxhash64("__shard", "family", "filter"))
+            .alias("h"),
+            F.sum(F.length("filter")).alias("l"),
+            F.first("params").alias("p")).first()
+        if not agg["n"]:
+            return df.withColumn(result_col, F.lit(False))
+        p = _json.loads(agg["p"])
+        if via == "auto" and agg["l"] > _BROADCAST_MAX:
+            probe = _with_route_shard(df, key_col, p)
+            return _probe_via_cogroup(probe, filters_df, ["__shard"],
+                                      key_col, result_col).drop("__shard")
+        fp_key = (spark.sparkContext.applicationId, "shardfp",
+                  int(agg["n"]), int(agg["h"]), int(agg["l"]))
+        hit = _SHARD_PROBE_CACHE.get(fp_key)
+        if hit is not None:
+            mode, bc, p = hit
+            return _probe_from_bc(df, bc, mode, p, key_col, result_col)
+        rows = filters_df.select("__shard", "params", "family",
+                                 "filter").collect()
+    elif via == "auto":
+        rows = _collect_shard_rows_auto(filters_df)
+        if rows is None:  # over budget: blobs never hit the driver
+            row = filters_df.select("params").first()
+            if row is None:
+                return df.withColumn(result_col, F.lit(False))
+            p = _json.loads(row["params"])
+            probe = _with_route_shard(df, key_col, p)
+            return _probe_via_cogroup(probe, filters_df, ["__shard"],
+                                      key_col, result_col).drop("__shard")
+    else:  # via == "broadcast": caller pinned the driver hop
+        rows = filters_df.select("__shard", "params", "family",
+                                 "filter").collect()
+    if not rows:  # empty build side: nothing can match
+        return df.withColumn(result_col, F.lit(False))
+    p = _json.loads(rows[0]["params"])
+
+    mode = "grouped"
+    if p.get("routing") == "bucket_range":
+        # worker-side slice assembly: one BlockFilter per worker,
+        # plain global probe
+        collected = {(): ("block_slice_set",
+                          [bytes(r["filter"]) for r in rows])}
+        mode = "global"
+    elif all(r["family"] == "taffy_block" for r in rows):
+        # single-level TBF forest (the jvm engine's shape): one
+        # concatenated probe matrix per worker, ONE vectorized pass
+        # per batch instead of a pandas groupby + S tiny find calls
+        shard_blobs = {int(r["__shard"]): bytes(r["filter"])
+                       for r in rows}
+        if _tbf_level0_uniform(shard_blobs):
+            collected = {(): ("tbf_level0_set",
+                              (int(p["n_shards"]), shard_blobs))}
+            mode = "global"
+    if mode == "grouped":
+        collected = {(int(r["__shard"]),): (r["family"],
+                                            bytes(r["filter"]))
+                     for r in rows}
+    bc = _get_bc(spark, collected)
+    if fp_key is not None:
+        while len(_SHARD_PROBE_CACHE) >= _BC_CACHE_MAX:
+            _SHARD_PROBE_CACHE.pop(next(iter(_SHARD_PROBE_CACHE)))
+        _SHARD_PROBE_CACHE[fp_key] = (mode, bc, p)
+    return _probe_from_bc(df, bc, mode, p, key_col, result_col)
+
+
+def _probe_from_bc(df: DataFrame, bc, mode: str, p: dict,
+                   key_col: str, result_col: str) -> DataFrame:
+    if mode == "global":
+        return _broadcast_probe_udf(df, bc, [], key_col, result_col)
+    from .forest import SHARD_COL, with_shard
+    probe = with_shard(df, key_col, int(p["n_shards"]))
+    return _broadcast_probe_udf(probe, bc, [SHARD_COL], key_col,
+                                result_col).drop(SHARD_COL)
+
+
+def _broadcast_probe_udf(df: DataFrame, bc, group_cols: list[str],
+                         key_col: str, result_col: str) -> DataFrame:
+    """Attach the vectorized membership column from a broadcast filter
+    map (grouped: per-batch numpy segmentation by group; global: one
+    kernel call per batch)."""
+    import pyarrow as pa
+    from pyspark.sql.functions import ArrowUDFType, arrow_udf
+
+    from ..kernels.keys import keys_and_valid_from_arrow
 
     if group_cols:
         def probe(*cols):
@@ -362,6 +595,12 @@ def probe_with_filters(df: DataFrame, filters_df: DataFrame,
         if f is None:
             return pa.array(np.zeros(len(keys), dtype=bool))
         k, valid = keys_and_valid_from_arrow(keys)
+        if isinstance(f, _TbfForestProbe):
+            # the assembled forest routes by the xxhash64 replica,
+            # which hashes binary and int64 key columns differently —
+            # the Arrow type is the authority
+            binary = not pa.types.is_integer(keys.type)
+            return pa.array(f.find(k, binary) & valid)
         return pa.array(f.find_hashes(k) & valid)
 
     # see the grouped path: nondeterministic to keep the membership

@@ -100,6 +100,59 @@ def test_packed_forest_engine_matches_streamed(spark):
     # shuffle's partitioning — no second exchange
 
 
+def test_assembled_tbf_forest_probe_matches_grouped(spark):
+    """Round-5: a single-level taffy_block forest (the jvm engine's
+    shape) probes through the assembled one-matrix fast path; answers
+    must equal the grouped shard route for binary AND long keys,
+    including absent keys and nulls; a grown multi-level forest must
+    fall back (not crash, same answers)."""
+    import libfilter_spark.spark.probe as P
+    from libfilter_spark.spark.forest import (build_filter_forest,
+                                              probe_with_forest)
+    from libfilter_spark.spark.keys import (with_content_key,
+                                            with_content_key_bin)
+    n = 30_000
+    df = spark.range(n).withColumn("content", F.col("id").cast("string"))
+    absent = spark.range(n, 2 * n).withColumn(
+        "content", F.col("id").cast("string"))
+    for keyfn in (with_content_key_bin,
+                  lambda d, c: with_content_key(d, c, hex_col=None)):
+        keys = keyfn(df, "content").select("key")
+        akeys = keyfn(absent, "content").select("key")
+        forest = build_filter_forest(keys, "key", "taffy_block", ndv=n,
+                                     fpp=0.01, n_shards=8,
+                                     engine="jvm").cache()
+        rows = forest.collect()
+        blobs = {int(r["__shard"]): bytes(r["filter"]) for r in rows}
+        assert P._tbf_level0_uniform(blobs)  # fast path eligible
+        found = probe_with_forest(keys, forest, "key") \
+            .where("maybe_seen").count()
+        assert found == n  # zero FN through the assembled path
+        # absent-key answers must equal the grouped route bit-for-bit
+        from libfilter_spark.spark.forest import SHARD_COL, with_shard
+        via_fast = probe_with_forest(akeys, forest, "key") \
+            .where("maybe_seen").count()
+        grouped_collected = {(s,): ("taffy_block", b)
+                             for s, b in blobs.items()}
+        routed = with_shard(akeys, "key", 8)
+        via_grouped = P.probe_with_filters(
+            routed, forest, [SHARD_COL], "key",
+            _collected=grouped_collected).where("maybe_seen").count()
+        assert via_fast == via_grouped
+        forest.unpersist()
+    # multi-level (grown) forest: not eligible, grouped fallback
+    keys = with_content_key_bin(df, "content").select("key")
+    grown = build_filter_forest(keys, "key", "taffy_block",
+                                ndv=8 * 64, fpp=0.01, n_shards=8,
+                                engine="arrow").cache()
+    gb = {int(r["__shard"]): bytes(r["filter"])
+          for r in grown.collect()}
+    assert not P._tbf_level0_uniform(gb)
+    assert probe_with_forest(keys, grown, "key") \
+        .where("maybe_seen").count() == n
+    grown.unpersist()
+
+
 def test_frozen_tcf_forest(spark):
     """Round-5: freeze=True serves each TCF shard in the frozen SWAR
     form (taffy-cuckoo.c:127-160) — zero FN across the freeze, blobs

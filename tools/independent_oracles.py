@@ -248,13 +248,11 @@ def winnow(text: str, k: int = 8, w: int = 4) -> set[int]:
         data = data + b"\0" * (k - len(data))
     n = len(data) - k + 1
     hs = []
-    acc0 = 0
     for i in range(n):
         acc = 0
         for j in range(k):
             acc = (acc * 257 + data[i + j]) & M64
         hs.append(acc)
-    del acc0
     if n <= w:
         return {min(hs)}
     return {min(hs[i:i + w]) for i in range(n - w + 1)}
