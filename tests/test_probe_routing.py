@@ -264,10 +264,18 @@ def test_shard_frame_auto_overbudget_stays_off_driver(spark,
                                           via="broadcast").collect()}
     assert all(expect[str(i)] for i in range(4_000))
     monkeypatch.setattr(P, "_BROADCAST_MAX", 8)
-    # uncached arm: budgeted toLocalIterator stops within budget
-    got_uncached = {r["content"]: r["maybe_seen"]
-                    for r in probe_with_filters(probe_keys, shards,
-                                                None).collect()}
+    # uncached arm: budgeted toLocalIterator stops within budget.
+    # The iterator arm only engages on big sessions (>64 shuffle
+    # partitions — small sessions plain-collect, see
+    # _collect_shard_rows_auto), so pin a big-session shape for it.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        got_uncached = {r["content"]: r["maybe_seen"]
+                        for r in probe_with_filters(probe_keys, shards,
+                                                    None).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     shards.cache().count()
     got_cached = {r["content"]: r["maybe_seen"]
                   for r in probe_with_filters(probe_keys, shards,
