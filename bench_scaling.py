@@ -390,6 +390,13 @@ this row runs at the pipeline's full n — the regime a 100 TB shard
 actually lives in. Cuckoo families cannot take this path (kick walks
 are stateful Python by design).
 
+Probe-side, the assembled forest matrix is published ONCE per box to
+/dev/shm by a single lock-holding worker and stream-copied by the
+rest (LIBFILTER_SHM_ASM_MIN, copy-on-attach): worker churn no longer
+re-pays the broadcast unpickle + assembly (measured 6.2 s → 1.3-1.6 s
+re-probe of the 110 MB forest at local[32]; BENCH/probe_asm_share.json
+records the private / zero-copy / copy-on-attach A/B).
+
 | config | TBF-jvm build keys/s | probe keys/s | fpp |
 |---|---|---|---|
 | local[2]  | {r2['families'].get('taffy_block_jvm', {}).get('build_keys_per_s', 0):,} | {r2['families'].get('taffy_block_jvm', {}).get('probe_keys_per_s', 0):,} | {r2['families'].get('taffy_block_jvm', {}).get('fpp', '—')} |

@@ -50,10 +50,39 @@ _SHARD_PROBE_CACHE: dict[tuple, tuple] = {}
 # tmpfs mappings contend where private heap copies do not), so within
 # the 256 MB broadcast budget private copies win outright. Lower
 # LIBFILTER_SHM_MIN on RSS-constrained executors to trade probe speed
-# for workers x map_bytes of resident memory.
+# for workers x map_bytes of resident memory. (Global shard probes
+# don't hit this trade anymore: _SHM_ASM_MIN below shares the
+# ASSEMBLED state with a private-copy attach, getting both.)
 _SHM_MIN_BYTES = int(os.environ.get("LIBFILTER_SHM_MIN", 256 << 20))
 _SHM_BLOB_FLOOR = int(os.environ.get("LIBFILTER_SHM_BLOB_FLOOR",
                                      256 << 10))
+
+# Global shard-frame probes ASSEMBLE per-worker state (block slices →
+# one BlockFilter; single-level TBF forest → one concatenated probe
+# matrix). Past this size the assembled state is published ONCE per
+# box to /dev/shm by a single lock-holding worker and attached
+# read-only by the rest — without it, every python worker privately
+# assembles ~map_bytes of state (and unpickles the broadcast first),
+# and worker churn re-pays that repeatedly: measured on a 110 MB /
+# 50M-key TBF-jvm forest at local[32], cold 4M-key probe 17.2 s and
+# post-churn re-probes 6.2 s vs 1.2 s warm. Unlike LIBFILTER_SHM_MIN
+# (which shares raw BLOBS but still deserializes per worker), this
+# shares the finished probe state itself.
+_SHM_ASM_MIN = int(os.environ.get("LIBFILTER_SHM_ASM_MIN", 32 << 20))
+# Attachers COPY the published state into private memory by default:
+# one streaming memcpy per worker (~ms) buys private-heap gather speed
+# — a direct A/B on the 110 MB forest at local[32] measured gathers
+# from the shared tmpfs mapping ~60% slower on a warm 50M-key probe
+# (5.26 s vs 3.25 s) while cold start still improves 3.4× because the
+# copy replaces broadcast-unpickle + re-assembly. Set =0 on
+# RSS-constrained executors to keep the zero-copy mapping (workers
+# then share ONE resident copy at the gather penalty).
+_SHM_ASM_COPY = os.environ.get("LIBFILTER_SHM_ASM_COPY", "1") != "0"
+# how long a non-assembling worker waits for the publisher before
+# falling back to private assembly, and when a lock is stale (its
+# holder died mid-assembly)
+_ASM_WAIT_S = float(os.environ.get("LIBFILTER_SHM_ASM_WAIT", "120"))
+_ASM_LOCK_STALE_S = 60.0
 
 
 def collect_filters(filters_df: DataFrame, group_cols: list[str]) -> dict:
@@ -333,7 +362,150 @@ def _filter_via_shm(token: str, g, fam: str, blob: bytes):
     return TaffyBlockFilter.deserialize_view(arr)
 
 
-def _materialize(bc) -> dict:
+def _asm_path(token: str, kind: str) -> str:
+    import hashlib
+    digest = hashlib.sha256((token + kind).encode()).hexdigest()[:24]
+    return f"/dev/shm/libfilter_asm_{digest}.u4"
+
+
+def _attach_assembled(asm_meta: dict):
+    """Attach the shared ASSEMBLED probe state for a global shard
+    probe, if some worker already published it to /dev/shm. Returns
+    the probe object (memmap-backed, read-only) or None. The state is
+    self-describing given the meta: bucket count falls out of the file
+    size, so no header is needed."""
+    from ..filters.block import BlockFilter
+    from ..kernels import block as K
+
+    path = _asm_path(asm_meta["token"], asm_meta["kind"])
+    if not os.path.exists(path):
+        return None
+    try:
+        if asm_meta["kind"] == "tbf_level0_set":
+            mm = np.memmap(path, dtype=np.uint64, mode="r")
+            n_sh = int(asm_meta["n_shards"])
+            words = K.WORDS_PER_BUCKET // 2  # u64 words per bucket
+            nb = mm.size // (n_sh * words)
+            if nb * n_sh * words != mm.size or nb == 0:
+                return None  # truncated/foreign file: assemble privately
+            state = np.array(mm) if _SHM_ASM_COPY else mm
+            return _TbfForestProbe(n_sh, nb, state)
+        mm32 = np.memmap(path, dtype=np.uint32, mode="r")
+        return BlockFilter(np.array(mm32) if _SHM_ASM_COPY else mm32)
+    except (OSError, ValueError):
+        return None
+
+
+def _publish_assembled(asm_meta: dict, build_fn):
+    """Single-assembler publish of the assembled probe state: the
+    first worker to take the lock runs ``build_fn() -> (probe_obj,
+    raw_array)``, publishes the raw array at the shared path (atomic
+    rename), and keeps its private object; the rest WAIT for the file
+    (bounded) instead of burning memory bandwidth on 32 duplicate
+    assemblies, then attach read-only. Returns a probe object, or None
+    when the caller should assemble privately (shm unwritable/full, or
+    the publisher is too slow)."""
+    import time
+
+    path = _asm_path(asm_meta["token"], asm_meta["kind"])
+    lock = path + ".lock"
+    # TTL sweep of abandoned asm state + locks (same policy as
+    # _shm_blob's blob sweep)
+    import glob
+    for old in glob.glob("/dev/shm/libfilter_asm_*"):
+        try:
+            age = time.time() - os.path.getmtime(old)
+            if age > (600 if old.endswith(".lock") else 3600):
+                os.unlink(old)
+        except OSError:
+            pass
+    deadline = time.monotonic() + _ASM_WAIT_S
+    while True:
+        got = _attach_assembled(asm_meta)
+        if got is not None:
+            return got
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            # publisher in flight: wait for the file, stealing the
+            # lock only if its holder looks dead
+            try:
+                if time.time() - os.path.getmtime(lock) \
+                        > _ASM_LOCK_STALE_S:
+                    os.unlink(lock)
+                    continue
+            except OSError:
+                continue  # lock vanished → re-check file
+            if time.monotonic() > deadline:
+                return None
+            time.sleep(0.05)
+            continue
+        except OSError:
+            return None  # /dev/shm unwritable
+        tmp = f"{path}.{os.getpid()}.tmp"
+        try:
+            obj, raw = build_fn()
+            raw.tofile(tmp)
+            os.replace(tmp, path)
+            return obj
+        except OSError:
+            # shm full: drop the partial file, caller goes private
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            return None
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+
+
+def _filter_cache_put(token: str, cached: dict) -> None:
+    while len(_FILTER_CACHE) >= _FILTER_CACHE_MAX:
+        _FILTER_CACHE.pop(next(iter(_FILTER_CACHE)))
+    _FILTER_CACHE[token] = cached
+
+
+def _asm_build_from_map(filter_map: dict):
+    """Publisher-side builder: the global map's single assembled-kind
+    entry → (probe object, raw array to publish)."""
+    from ..filters.block import BlockFilter
+
+    fam, blob = filter_map[()]
+    if fam == "tbf_level0_set":
+        n_sh, shard_blobs = blob
+        pv = _TbfForestProbe.assemble(n_sh, shard_blobs)
+        assert pv is not None  # driver checked eligibility
+        return pv, pv.b64
+    raw = np.frombuffer(_assembled_block_bytes(blob), np.uint8)
+    return BlockFilter(raw.view(np.uint32)), raw
+
+
+def _materialize(bc, asm_meta: dict | None = None) -> dict:
+    # shared-assembly fast path: the token rides in the UDF closure,
+    # so a fresh (churned) worker that finds the published state skips
+    # BOTH the broadcast unpickle (~map_bytes) and private assembly.
+    # On a COLD box the lock race also happens BEFORE the unpickle:
+    # the single lock-holder unpickles + assembles at full memory
+    # bandwidth while the other workers wait for the file and then
+    # copy it, instead of N concurrent unpickle+assembly streams
+    # (the measured 17 s cold 4M-key probe of a 110 MB forest).
+    if asm_meta is not None:
+        cached = _FILTER_CACHE.get(asm_meta["token"])
+        if cached is not None:
+            return cached
+        got = _attach_assembled(asm_meta)
+        if got is None:
+            got = _publish_assembled(
+                asm_meta, lambda: _asm_build_from_map(bc.value[1]))
+        if got is not None:
+            cached = {(): got}
+            _filter_cache_put(asm_meta["token"], cached)
+            return cached
+        # shm unavailable or publisher too slow → private assembly
 
     token, filter_map = bc.value
     cached = _FILTER_CACHE.get(token)
@@ -348,7 +520,8 @@ def _materialize(bc) -> dict:
         for g, (fam, blob) in filter_map.items():
             if fam == "tbf_level0_set":
                 # single-level TBF forest: one concatenated probe
-                # matrix per worker (see _TbfForestProbe)
+                # matrix per worker (see _TbfForestProbe); the shared
+                # publish path above handled the asm_meta case
                 n_sh, shard_blobs = blob
                 cached[g] = _TbfForestProbe.assemble(n_sh, shard_blobs)
                 assert cached[g] is not None  # driver checked eligibility
@@ -366,9 +539,7 @@ def _materialize(bc) -> dict:
                 except OSError:
                     pass  # shm full/unwritable → private copy
             cached[g] = FAMILIES[fam].deserialize(blob)
-        while len(_FILTER_CACHE) >= _FILTER_CACHE_MAX:
-            _FILTER_CACHE.pop(next(iter(_FILTER_CACHE)))
-        _FILTER_CACHE[token] = cached
+        _filter_cache_put(token, cached)
     return cached
 
 
@@ -435,14 +606,15 @@ def probe_with_filters(df: DataFrame, filters_df: DataFrame,
     return _broadcast_probe_udf(df, bc, group_cols, key_col, result_col)
 
 
-def _get_bc(spark, filter_map: dict):
+def _get_bc(spark, filter_map: dict, token: str | None = None):
     """Broadcast a collected filter map under a CONTENT-digest cache
     key, not a per-call uuid — repeated probes of the same filters
     frame then reuse BOTH the driver-side broadcast (no re-dump of a
     100 MB map per call) and the worker-side deserialized/assembled
     state (no workers × map_bytes of rebuild memcpy per call; measured
     as the dominant cost of re-probing a 110 MB assembled forest)."""
-    token = _content_token(filter_map)
+    if token is None:
+        token = _content_token(filter_map)
     sc = spark.sparkContext
     cache_key = (sc.applicationId, token)
     bc = _BC_CACHE.get(cache_key)
@@ -513,8 +685,9 @@ def _probe_shard_frame(df: DataFrame, filters_df: DataFrame,
                   int(agg["n"]), int(agg["h"]), int(agg["l"]))
         hit = _SHARD_PROBE_CACHE.get(fp_key)
         if hit is not None:
-            mode, bc, p = hit
-            return _probe_from_bc(df, bc, mode, p, key_col, result_col)
+            mode, bc, p, asm_meta = hit
+            return _probe_from_bc(df, bc, mode, p, key_col, result_col,
+                                  asm_meta)
         rows = filters_df.select("__shard", "params", "family",
                                  "filter").collect()
     elif via == "auto":
@@ -535,12 +708,13 @@ def _probe_shard_frame(df: DataFrame, filters_df: DataFrame,
     p = _json.loads(rows[0]["params"])
 
     mode = "grouped"
+    kind = None
     if p.get("routing") == "bucket_range":
         # worker-side slice assembly: one BlockFilter per worker,
         # plain global probe
         collected = {(): ("block_slice_set",
                           [bytes(r["filter"]) for r in rows])}
-        mode = "global"
+        mode, kind = "global", "block_slice_set"
     elif all(r["family"] == "taffy_block" for r in rows):
         # single-level TBF forest (the jvm engine's shape): one
         # concatenated probe matrix per worker, ONE vectorized pass
@@ -550,23 +724,33 @@ def _probe_shard_frame(df: DataFrame, filters_df: DataFrame,
         if _tbf_level0_uniform(shard_blobs):
             collected = {(): ("tbf_level0_set",
                               (int(p["n_shards"]), shard_blobs))}
-            mode = "global"
+            mode, kind = "global", "tbf_level0_set"
     if mode == "grouped":
         collected = {(int(r["__shard"]),): (r["family"],
                                             bytes(r["filter"]))
                      for r in rows}
-    bc = _get_bc(spark, collected)
+    token = _content_token(collected)
+    # big assembled state → share it across workers via /dev/shm
+    # (single assembler + read-only attach; see _publish_assembled)
+    asm_meta = None
+    if mode == "global" and os.path.isdir("/dev/shm") \
+            and _blob_bytes(collected[()][1]) >= _SHM_ASM_MIN:
+        asm_meta = {"token": token, "kind": kind,
+                    "n_shards": int(p["n_shards"])}
+    bc = _get_bc(spark, collected, token)
     if fp_key is not None:
         while len(_SHARD_PROBE_CACHE) >= _BC_CACHE_MAX:
             _SHARD_PROBE_CACHE.pop(next(iter(_SHARD_PROBE_CACHE)))
-        _SHARD_PROBE_CACHE[fp_key] = (mode, bc, p)
-    return _probe_from_bc(df, bc, mode, p, key_col, result_col)
+        _SHARD_PROBE_CACHE[fp_key] = (mode, bc, p, asm_meta)
+    return _probe_from_bc(df, bc, mode, p, key_col, result_col, asm_meta)
 
 
 def _probe_from_bc(df: DataFrame, bc, mode: str, p: dict,
-                   key_col: str, result_col: str) -> DataFrame:
+                   key_col: str, result_col: str,
+                   asm_meta: dict | None = None) -> DataFrame:
     if mode == "global":
-        return _broadcast_probe_udf(df, bc, [], key_col, result_col)
+        return _broadcast_probe_udf(df, bc, [], key_col, result_col,
+                                    asm_meta)
     from .forest import SHARD_COL, with_shard
     probe = with_shard(df, key_col, int(p["n_shards"]))
     return _broadcast_probe_udf(probe, bc, [SHARD_COL], key_col,
@@ -574,7 +758,8 @@ def _probe_from_bc(df: DataFrame, bc, mode: str, p: dict,
 
 
 def _broadcast_probe_udf(df: DataFrame, bc, group_cols: list[str],
-                         key_col: str, result_col: str) -> DataFrame:
+                         key_col: str, result_col: str,
+                         asm_meta: dict | None = None) -> DataFrame:
     """Attach the vectorized membership column from a broadcast filter
     map (grouped: per-batch numpy segmentation by group; global: one
     kernel call per batch)."""
@@ -610,7 +795,7 @@ def _broadcast_probe_udf(df: DataFrame, bc, group_cols: list[str],
         return df.withColumn(result_col, udf(*args))
 
     def probe_global(keys):
-        filters = _materialize(bc)
+        filters = _materialize(bc, asm_meta)
         f = filters.get(())
         if f is None:
             return pa.array(np.zeros(len(keys), dtype=bool))

@@ -317,3 +317,173 @@ def test_filter_via_shm_zero_copy_equivalent():
         # second call (another worker) reuses the same shm file
         h = _filter_via_shm(token, (fam,), fam, f.serialize())
         assert h.find_hashes(keys).all()
+
+
+def test_shared_assembled_state_equivalent():
+    """The /dev/shm shared-assembly path (what workers run past
+    _SHM_ASM_MIN on a global shard probe) must agree with private
+    assembly for both assembled kinds — the single-level TBF forest
+    matrix and the block-slice global filter — across all three
+    worker roles: publisher (lock holder), attacher (file already
+    present, no broadcast unpickle), and private fallback (publisher
+    too slow). No Spark: _materialize's worker branch is exercised
+    directly."""
+    import os
+    import uuid
+
+    import numpy as np
+    import pytest as _pytest
+
+    if not os.path.isdir("/dev/shm"):
+        _pytest.skip("no /dev/shm")
+    import libfilter_spark.spark.probe as P
+    from libfilter_spark.filters.block import BlockSliceFilter
+    from libfilter_spark.filters.taffy_block import TaffyBlockFilter
+    from libfilter_spark.kernels import block as K
+    from libfilter_spark.kernels.keys import shard_of_keys, splitmix64
+
+    keys = splitmix64(40_000, seed=7)
+    absent = splitmix64(80_000, seed=7)[40_000:]
+    n_sh = 4
+
+    class FakeBC:
+        def __init__(self, token, fmap):
+            self.value = (token, fmap)
+
+    made = []
+    try:
+        # --- single-level TBF forest kind ---
+        shards = shard_of_keys(keys, n_sh, binary=False)
+        blobs = {}
+        for s in range(n_sh):
+            f = TaffyBlockFilter.create(12_000, 0.004)
+            f.add_hashes(keys[shards == s])
+            assert len(f.levels) == 1
+            blobs[s] = f.serialize()
+        token = uuid.uuid4().hex
+        meta = {"token": token, "kind": "tbf_level0_set",
+                "n_shards": n_sh}
+        made.append(P._asm_path(token, "tbf_level0_set"))
+        fmap = {(): ("tbf_level0_set", (n_sh, blobs))}
+        priv = P._TbfForestProbe.assemble(n_sh, blobs)
+
+        # role 1: publisher — no file yet, takes the lock, publishes
+        P._FILTER_CACHE.clear()
+        pub = P._materialize(FakeBC(token, fmap), meta)[()]
+        assert os.path.exists(made[-1])
+        # role 2: attacher — fresh worker, file present; broadcast
+        # value must NOT be touched
+        P._FILTER_CACHE.clear()
+
+        class Poisoned:
+            @property
+            def value(self):
+                raise AssertionError("attacher touched bc.value")
+        att = P._materialize(Poisoned(), meta)[()]
+        for obj in (pub, att):
+            assert obj.find(keys, binary=False).all()
+            assert np.array_equal(obj.find(absent, binary=False),
+                                  priv.find(absent, binary=False))
+
+        # role 3: private fallback — lock held by a live "worker",
+        # deadline elapsed
+        lock = made[-1] + ".lock"
+        os.unlink(made[-1])
+        with open(lock, "w"):
+            pass
+        made.append(lock)
+        old_wait = P._ASM_WAIT_S
+        P._ASM_WAIT_S = 0.0
+        try:
+            P._FILTER_CACHE.clear()
+            fb = P._materialize(FakeBC(token, fmap), meta)[()]
+        finally:
+            P._ASM_WAIT_S = old_wait
+        assert not os.path.exists(made[-2])  # nobody published
+        assert fb.find(keys, binary=False).all()
+
+        # --- block-slice kind ---
+        from libfilter_spark.filters import BlockFilter
+        full = BlockFilter.create_with_ndv_fpp(40_000, 0.004)
+        full.add_hashes(keys)
+        st = full.state
+        w = K.WORDS_PER_BUCKET
+        nb = st.size // w
+        bounds = [0, nb // 3, 2 * nb // 3, nb]
+        slices = [BlockSliceFilter(nb, lo,
+                                   st[lo * w:hi * w]).serialize()
+                  for lo, hi in zip(bounds, bounds[1:])]
+        token2 = uuid.uuid4().hex
+        meta2 = {"token": token2, "kind": "block_slice_set",
+                 "n_shards": len(slices)}
+        made.append(P._asm_path(token2, "block_slice_set"))
+        fmap2 = {(): ("block_slice_set", slices)}
+        P._FILTER_CACHE.clear()
+        pub2 = P._materialize(FakeBC(token2, fmap2), meta2)[()]
+        assert os.path.exists(made[-1])
+        P._FILTER_CACHE.clear()
+        att2 = P._materialize(Poisoned(), meta2)[()]
+        for obj in (pub2, att2):
+            assert obj.find_hashes(keys).all()
+            assert np.array_equal(obj.find_hashes(absent),
+                                  full.find_hashes(absent))
+    finally:
+        P._FILTER_CACHE.clear()
+        for pth in made:
+            try:
+                os.unlink(pth)
+            except OSError:
+                pass
+
+
+def test_shared_assembly_spark_end_to_end(spark, monkeypatch):
+    """With the share threshold lowered, a global shard-frame probe
+    must publish the assembled state to /dev/shm and answer exactly
+    as before — for both the sharded block build and the jvm TBF
+    forest. Exercises the real worker path (publisher + attachers
+    racing) under Spark."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.isdir("/dev/shm"):
+        _pytest.skip("no /dev/shm")
+    import libfilter_spark.spark.probe as P
+    from libfilter_spark.spark.forest import build_filter_forest
+    from libfilter_spark.spark.sharded import build_block_shards
+
+    monkeypatch.setattr(P, "_SHM_ASM_MIN", 1)
+    n = 6_000
+    base = spark.range(n).select(
+        F.col("id").cast("string").alias("content"))
+    keys = with_content_key_bin(base, "content").select("key")
+    probe = spark.range(2 * n).select(
+        F.col("id").cast("string").alias("content"))
+    probe_keys = with_content_key_bin(probe, "content") \
+        .select("key", "content")
+
+    before = set(glob.glob("/dev/shm/libfilter_asm_*.u4"))
+    try:
+        for frame in (
+                build_block_shards(keys, ndv=n, fpp=0.01, n_shards=4),
+                build_filter_forest(keys, "key", "taffy_block", ndv=n,
+                                    fpp=0.01, n_shards=4,
+                                    engine="jvm")):
+            got = {r["content"]: r["maybe_seen"]
+                   for r in probe_with_filters(probe_keys, frame,
+                                               None).collect()}
+            assert all(got[str(i)] for i in range(n))  # zero FN
+            # repeat probe (warm caches + existing shm file)
+            again = {r["content"]: r["maybe_seen"]
+                     for r in probe_with_filters(probe_keys, frame,
+                                                 None).collect()}
+            assert again == got
+        created = set(glob.glob("/dev/shm/libfilter_asm_*.u4")) - before
+        assert len(created) == 2  # one per assembled kind
+    finally:
+        for pth in set(glob.glob("/dev/shm/libfilter_asm_*")) - before:
+            try:
+                os.unlink(pth)
+            except OSError:
+                pass
