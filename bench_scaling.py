@@ -148,13 +148,19 @@ for _ in range(2):
     best = min(best, time.perf_counter() - t0)
 forest_df = spark.createDataFrame(rows, forest.schema).cache()
 forest_df.count()
+# probe the FULL key set (probe_n == n): a 4M-key probe of this
+# 110 MB forest measures per-worker setup (broadcast unpickle +
+# state assembly/attach), not probe throughput — the row is then
+# directly comparable with the pipeline probe above, which also
+# probes all n keys. min-of-3 so one cold/throttled trial can't
+# dominate (the shm-published state makes later trials warm).
 pbest = float("inf")
-for _ in range(2):
+for _ in range(3):
     t0 = time.perf_counter()
-    found = probe_with_forest(keys2, forest_df, "key") \
+    found = probe_with_forest(keys, forest_df, "key") \
         .where("maybe_seen").count()
     pbest = min(pbest, time.perf_counter() - t0)
-    assert found == n_taffy, (found, n_taffy)  # keys2 ⊂ keys: zero FN
+    assert found == n, (found, n)
 absent_jvm = (spark.range(n, n + n_taffy, numPartitions=2 * cpus)
               .withColumn("content", F.col("id").cast("string")))
 ajk = with_content_key_bin(absent_jvm, "content").select("key")
@@ -162,8 +168,8 @@ n_fp = probe_with_forest(ajk, forest_df, "key") \
     .where("maybe_seen").count()
 fam["taffy_block_jvm"] = {
     "build_keys_per_s": round(n / best),
-    "probe_keys_per_s": round(n_taffy / pbest),
-    "n": n, "fpp": round(n_fp / n_taffy, 5),
+    "probe_keys_per_s": round(n / pbest),
+    "n": n, "probe_n": n, "fpp": round(n_fp / n_taffy, 5),
     "filter_bytes": sum(len(bytes(r["filter"])) for r in rows)}
 forest_df.unpersist()
 
@@ -222,8 +228,13 @@ def main() -> None:
                 m = dict(a)
                 m["build_keys_per_s"] = max(a["build_keys_per_s"],
                                             b["build_keys_per_s"])
-                m["probe_keys_per_s"] = max(a["probe_keys_per_s"],
-                                            b["probe_keys_per_s"])
+                # probe rates merge only across IDENTICAL probe
+                # volumes — records from before the full-volume jvm
+                # probe (probe_n absent) measured per-worker setup at
+                # 4M keys and must not mix with the new measurement
+                if a.get("probe_n") == b.get("probe_n"):
+                    m["probe_keys_per_s"] = max(a["probe_keys_per_s"],
+                                                b["probe_keys_per_s"])
                 fams[fam] = m
             else:
                 fams[fam] = a or b
@@ -395,7 +406,10 @@ Probe-side, the assembled forest matrix is published ONCE per box to
 rest (LIBFILTER_SHM_ASM_MIN, copy-on-attach): worker churn no longer
 re-pays the broadcast unpickle + assembly (measured 6.2 s → 1.3-1.6 s
 re-probe of the 110 MB forest at local[32]; BENCH/probe_asm_share.json
-records the private / zero-copy / copy-on-attach A/B).
+records the private / zero-copy / copy-on-attach A/B). The probe
+column probes the FULL n-key set (like the pipeline rows above) —
+a 4M-key probe of a 110 MB forest measures per-worker setup, not
+probe throughput.
 
 | config | TBF-jvm build keys/s | probe keys/s | fpp |
 |---|---|---|---|

@@ -371,7 +371,9 @@ def _asm_path(token: str, kind: str) -> str:
 def _attach_assembled(asm_meta: dict):
     """Attach the shared ASSEMBLED probe state for a global shard
     probe, if some worker already published it to /dev/shm. Returns
-    the probe object (memmap-backed, read-only) or None. The state is
+    the probe object or None. By default the state is stream-copied
+    into private memory (one memcpy buys THP-speed gathers — see
+    _SHM_ASM_COPY); =0 keeps the read-only memmap. The state is
     self-describing given the meta: bucket count falls out of the file
     size, so no header is needed."""
     from ..filters.block import BlockFilter
@@ -772,9 +774,27 @@ def _broadcast_probe_udf(df: DataFrame, bc, group_cols: list[str],
         def probe(*cols):
             filters = _materialize(bc)
             keys, valid = keys_and_valid_from_arrow(cols[-1])
+            out = np.zeros(len(keys), dtype=bool)
+            if len(cols) == 2 and pa.types.is_integer(cols[0].type) \
+                    and cols[0].null_count == 0:
+                # single non-null int group col (the forest/shard
+                # shape): numpy argsort segmentation instead of a
+                # pandas groupby — no frame build, no per-group index
+                # objects, one contiguous find call per present group
+                g = np.asarray(cols[0].to_numpy(zero_copy_only=False))
+                order = np.argsort(g, kind="stable")
+                gs = g[order]
+                bounds = np.flatnonzero(
+                    np.r_[True, gs[1:] != gs[:-1]]).tolist()
+                bounds.append(len(gs))
+                for b, e in zip(bounds, bounds[1:]):
+                    f = filters.get((int(gs[b]),))
+                    if f is not None:
+                        idx = order[b:e]
+                        out[idx] = f.find_hashes(keys[idx])
+                return pa.array(out & valid)
             gdf = pd.DataFrame(
                 {i: c.to_pandas() for i, c in enumerate(cols[:-1])})
-            out = np.zeros(len(keys), dtype=bool)
             for g, sub in gdf.groupby(list(gdf.columns), sort=False):
                 g = g if isinstance(g, tuple) else (g,)
                 f = filters.get(g)
