@@ -487,3 +487,47 @@ def test_shared_assembly_spark_end_to_end(spark, monkeypatch):
                 os.unlink(pth)
             except OSError:
                 pass
+
+
+def test_shared_assembly_stale_lock_takeover():
+    """A lock whose holder died mid-assembly must not wedge the
+    shared-assembly path: a worker that finds a stale lock (mtime
+    older than _ASM_LOCK_STALE_S) steals it and publishes."""
+    import os
+    import time
+    import uuid
+
+    import pytest as _pytest
+
+    if not os.path.isdir("/dev/shm"):
+        _pytest.skip("no /dev/shm")
+    import numpy as np
+
+    import libfilter_spark.spark.probe as P
+
+    token = uuid.uuid4().hex
+    meta = {"token": token, "kind": "block_slice_set", "n_shards": 1}
+    path = P._asm_path(token, "block_slice_set")
+    lock = path + ".lock"
+    try:
+        with open(lock, "w"):
+            pass
+        stale = time.time() - P._ASM_LOCK_STALE_S - 5
+        os.utime(lock, (stale, stale))
+        calls = []
+
+        def build():
+            calls.append(1)
+            from libfilter_spark.filters.block import BlockFilter
+            raw = np.zeros(1024, dtype=np.uint8)
+            return BlockFilter(raw.view(np.uint32)), raw
+
+        got = P._publish_assembled(meta, build)
+        assert got is not None and calls == [1]
+        assert os.path.exists(path) and not os.path.exists(lock)
+    finally:
+        for pth in (path, lock):
+            try:
+                os.unlink(pth)
+            except OSError:
+                pass
