@@ -34,6 +34,50 @@ from ..filters import FAMILIES
 
 SHARD_COL = "__shard"
 
+# one row per built shard — shared by every forest engine
+_FOREST_SCHEMA = StructType([
+    StructField(SHARD_COL, LongType()),
+    StructField("family", StringType()),
+    StructField("params", StringType()),
+    StructField("n_keys", LongType()),
+    StructField("n_partials", LongType()),
+    StructField("filter", BinaryType()),
+])
+
+
+def _bufs_to_batch(bufs: dict, cls, per_shard: int, fpp: float,
+                   family: str, params: str, freeze: bool):
+    """Shared tail of the streamed forest engines: per-shard key
+    buffers → built filters → the task's single output RecordBatch
+    (None when the task saw no rows). Inserting ONCE per shard at
+    stream end is deliberate — add_hashes pre-sizes to a low-load
+    configuration when it knows the full count, where the per-batch
+    incremental pattern was measured 1.8× (TCF) to 2.5× (MTCF) slower
+    per key (every call runs the filter at its ~0.9-occupancy growth
+    edge). Transient cost: the task's key share at 8 B/key, bounded by
+    the same shard sizing that bounds the filter."""
+    import numpy as np
+    import pyarrow as pa
+
+    filters: dict[int, object] = {}
+    counts: dict[int, int] = {}
+    for s, chunks in bufs.items():
+        keys = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+        f = filters[s] = cls.create(per_shard, fpp)
+        f.add_hashes(keys)
+        counts[s] = len(keys)
+    if not filters:
+        return None
+    out_fam, blobs = _freeze_blobs(family, filters.values(), freeze)
+    return pa.RecordBatch.from_pydict({
+        SHARD_COL: pa.array(list(filters), type=pa.int64()),
+        "family": pa.array([out_fam] * len(filters)),
+        "params": pa.array([params] * len(filters)),
+        "n_keys": pa.array([counts[s] for s in filters],
+                           type=pa.int64()),
+        "n_partials": pa.array([1] * len(filters), type=pa.int64()),
+        "filter": pa.array(blobs, type=pa.binary())})
+
 
 def with_shard(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
     """Attach the forest routing column — computed JVM-side so no
@@ -125,28 +169,10 @@ def build_filter_forest(df: DataFrame, key_col: str = "key",
         df.select(key_col).where(F.col(key_col).isNotNull()),
         key_col, n_shards).repartition(n_shards, SHARD_COL) \
         .select(key_col)
-    schema = StructType([
-        StructField(SHARD_COL, LongType()),
-        StructField("family", StringType()),
-        StructField("params", StringType()),
-        StructField("n_keys", LongType()),
-        StructField("n_partials", LongType()),
-        StructField("filter", BinaryType()),
-    ])
-
     def build_stream(batches):
         import numpy as np
-        import pyarrow as pa
 
         from ..kernels.keys import keys_from_arrow, shard_of_keys
-        # buffer each shard's keys and insert ONCE per shard at stream
-        # end: add_hashes knows the full count upfront and pre-sizes to
-        # a low-load configuration, so the kick walk stays short. The
-        # per-65k-batch incremental pattern was measured 1.8× (TCF) to
-        # 2.5× (MTCF) slower per key — every call operates the filter
-        # at the ~0.9-occupancy growth edge. Transient cost: the task's
-        # key share at 8 B/key (vs the ~2 B/key filter), bounded by the
-        # same shard sizing that bounds the filter itself.
         bufs: dict[int, list] = {}
         for batch in batches:
             if batch.num_rows == 0:
@@ -155,27 +181,12 @@ def build_filter_forest(df: DataFrame, key_col: str = "key",
             shards = shard_of_keys(keys, n_shards, binary=is_binary)
             for s in np.unique(shards):
                 bufs.setdefault(int(s), []).append(keys[shards == s])
-        filters: dict[int, object] = {}
-        counts: dict[int, int] = {}
-        for s, chunks in bufs.items():
-            keys = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
-            f = filters[s] = cls.create(per_shard, fpp)
-            f.add_hashes(keys)
-            counts[s] = len(keys)
-        if filters:
-            out_fam, blobs = _freeze_blobs(family, filters.values(),
-                                           freeze)
-            yield pa.RecordBatch.from_pydict({
-                SHARD_COL: pa.array(list(filters), type=pa.int64()),
-                "family": pa.array([out_fam] * len(filters)),
-                "params": pa.array([params] * len(filters)),
-                "n_keys": pa.array([counts[s] for s in filters],
-                                   type=pa.int64()),
-                "n_partials": pa.array([1] * len(filters),
-                                       type=pa.int64()),
-                "filter": pa.array(blobs, type=pa.binary())})
+        out = _bufs_to_batch(bufs, cls, per_shard, fpp, family, params,
+                             freeze)
+        if out is not None:
+            yield out
 
-    return routed.mapInArrow(build_stream, schema=schema)
+    return routed.mapInArrow(build_stream, schema=_FOREST_SCHEMA)
 
 
 def _freeze_blobs(family: str, filters, freeze: bool):
@@ -217,22 +228,10 @@ def _build_forest_arrow_packed(df: DataFrame, key_col: str, family: str,
               .groupBy(SHARD_COL, "__salt")
               .agg(F.collect_list(F.col(key_col)).alias("__keys"))
               .drop("__salt"))
-    schema = StructType([
-        StructField(SHARD_COL, LongType()),
-        StructField("family", StringType()),
-        StructField("params", StringType()),
-        StructField("n_keys", LongType()),
-        StructField("n_partials", LongType()),
-        StructField("filter", BinaryType()),
-    ])
-
     def build_packed(batches):
         import pyarrow as pa
 
         from ..kernels.keys import keys_from_arrow
-        # buffer per shard, insert once at stream end (see build_stream
-        # in build_filter_forest: incremental chunk inserts run the
-        # filter at its growth edge — measured 1.8-2.5× slower)
         bufs: dict[int, list] = {}
         for batch in batches:
             if batch.num_rows == 0:
@@ -248,28 +247,12 @@ def _build_forest_arrow_packed(df: DataFrame, key_col: str, family: str,
                 s = int(shards[i])
                 bufs.setdefault(s, []).append(
                     flat[offs[i]:offs[i + 1]].copy())
-        import numpy as np
-        filters: dict[int, object] = {}
-        counts: dict[int, int] = {}
-        for s, chunks in bufs.items():
-            keys = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
-            f = filters[s] = cls.create(per_shard, fpp)
-            f.add_hashes(keys)
-            counts[s] = len(keys)
-        if filters:
-            out_fam, blobs = _freeze_blobs(family, filters.values(),
-                                           freeze)
-            yield pa.RecordBatch.from_pydict({
-                SHARD_COL: pa.array(list(filters), type=pa.int64()),
-                "family": pa.array([out_fam] * len(filters)),
-                "params": pa.array([params] * len(filters)),
-                "n_keys": pa.array([counts[s] for s in filters],
-                                   type=pa.int64()),
-                "n_partials": pa.array([1] * len(filters),
-                                       type=pa.int64()),
-                "filter": pa.array(blobs, type=pa.binary())})
+        out = _bufs_to_batch(bufs, cls, per_shard, fpp, family, params,
+                             freeze)
+        if out is not None:
+            yield out
 
-    return packed.mapInArrow(build_packed, schema=schema)
+    return packed.mapInArrow(build_packed, schema=_FOREST_SCHEMA)
 
 
 def _build_tbf_forest_jvm(df: DataFrame, key_col: str, n_shards: int,

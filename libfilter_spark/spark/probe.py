@@ -79,10 +79,14 @@ _SHM_ASM_MIN = int(os.environ.get("LIBFILTER_SHM_ASM_MIN", 32 << 20))
 # then share ONE resident copy at the gather penalty).
 _SHM_ASM_COPY = os.environ.get("LIBFILTER_SHM_ASM_COPY", "1") != "0"
 # how long a non-assembling worker waits for the publisher before
-# falling back to private assembly, and when a lock is stale (its
-# holder died mid-assembly)
+# falling back to private assembly, and when a lock counts as stale
+# (its holder died mid-assembly). Stale is deliberately LONGER than
+# the wait: a slow-but-alive publisher must not trigger a takeover
+# stampede (waiters give up and assemble privately instead); takeover
+# only heals locks of dead publishers for workers that arrive later.
 _ASM_WAIT_S = float(os.environ.get("LIBFILTER_SHM_ASM_WAIT", "120"))
-_ASM_LOCK_STALE_S = 60.0
+_ASM_LOCK_STALE_S = float(os.environ.get("LIBFILTER_SHM_ASM_STALE",
+                                         "300"))
 
 
 def collect_filters(filters_df: DataFrame, group_cols: list[str]) -> dict:
@@ -151,29 +155,23 @@ def _collect_shard_rows_auto(filters_df: DataFrame) -> list | None:
     caller falls back to the shuffle probe). Mirrors
     _collect_filters_auto: the budget must be enforced BEFORE the
     blobs land in driver memory — an over-budget forest is the exact
-    case the budget exists for. Cached frames pay a cheap length-agg
-    pre-check (re-reading a cached frame is free); uncached frames on
-    big sessions (>64 shuffle partitions) use a budgeted
-    toLocalIterator so a rebuild-per-action frame is read once with
-    driver memory bounded at any shard count; small sessions plain-
-    collect (the iterator's per-partition mini-job scheduling costs
-    more than the blobs it guards against)."""
+    case the budget exists for. Only UNCACHED frames reach here —
+    cached frames are intercepted by _probe_shard_frame's fingerprint
+    aggregation, which length-checks the budget JVM-side. Big sessions
+    (>64 shuffle partitions) use a budgeted toLocalIterator so a
+    rebuild-per-action frame is read once with driver memory bounded
+    at any shard count; small sessions plain-collect (the iterator's
+    per-partition mini-job scheduling costs more than the blobs it
+    guards against)."""
     sel = filters_df.select("__shard", "params", "family", "filter")
-    sl = filters_df.storageLevel
     session_parts = int(filters_df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"))
-    if (sl.useMemory or sl.useDisk) or session_parts <= 64:
-        # cached: a cheap length-agg prechecks the budget. Small
-        # sessions: plain collect + post-collect check — the iterator
-        # pays ~90 ms of sequential mini-job scheduling PER PARTITION
+    if session_parts <= 64:
+        # plain collect + post-collect check — the iterator pays
+        # ~90 ms of sequential mini-job scheduling PER PARTITION
         # (measured 4.6 s vs 1.5 s on the 5M-key probe bench), and the
         # over-budget shard frames the budget guards against are a
         # big-session shape (hundreds of shuffle partitions).
-        if sl.useMemory or sl.useDisk:
-            total = filters_df.agg(
-                F.sum(F.length("filter"))).collect()[0][0] or 0
-            if total > _BROADCAST_MAX:
-                return None
         rows = sel.collect()
         if sum(len(r["filter"]) for r in rows) > _BROADCAST_MAX:
             import warnings
@@ -428,6 +426,10 @@ def _publish_assembled(asm_meta: dict, build_fn):
             return got
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            # pid-stamp the lock so finally can unlink OUR lock only —
+            # a takeover must not have its fresh lock deleted by the
+            # original (slow) publisher's cleanup
+            os.write(fd, str(os.getpid()).encode())
             os.close(fd)
         except FileExistsError:
             # publisher in flight: wait for the file, stealing the
@@ -460,7 +462,9 @@ def _publish_assembled(asm_meta: dict, build_fn):
             return None
         finally:
             try:
-                os.unlink(lock)
+                with open(lock) as fh:
+                    if fh.read() == str(os.getpid()):
+                        os.unlink(lock)
             except OSError:
                 pass
 
@@ -775,7 +779,8 @@ def _broadcast_probe_udf(df: DataFrame, bc, group_cols: list[str],
             filters = _materialize(bc)
             keys, valid = keys_and_valid_from_arrow(cols[-1])
             out = np.zeros(len(keys), dtype=bool)
-            if len(cols) == 2 and pa.types.is_integer(cols[0].type) \
+            if len(keys) and len(cols) == 2 \
+                    and pa.types.is_integer(cols[0].type) \
                     and cols[0].null_count == 0:
                 # single non-null int group col (the forest/shard
                 # shape): numpy argsort segmentation instead of a
