@@ -234,6 +234,10 @@ def main() -> None:
             "taffy_block_jvm_build_efficiency_2_to_8")
         extras["scaling_build_keys_per_s_local8"] = sc.get(
             "local[8]", {}).get("build_keys_per_s")
+        extras["scaling_tbf_jvm_probe_keys_per_s_2_8_32"] = [
+            sc.get(f"local[{c}]", {}).get("families", {})
+              .get("taffy_block_jvm", {}).get("probe_keys_per_s")
+            for c in (2, 8, 32)]
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({
