@@ -531,3 +531,34 @@ def test_shared_assembly_stale_lock_takeover():
                 os.unlink(pth)
             except OSError:
                 pass
+
+
+def test_grouped_probe_int_group_with_nulls(spark):
+    """The argsort fast path only takes non-null integer group
+    columns; a null group value must route through the pandas
+    fallback and report its rows as non-members (not crash, not
+    match). Pins the null_count guard in _broadcast_probe_udf."""
+    build = spark.range(1_000).select(
+        (F.col("id") % 4).alias("g"),
+        F.col("id").cast("string").alias("content"))
+    build_keys = with_content_key_bin(build, "content") \
+        .select("g", "key")
+    filters = build_filters(build_keys, ["g"], ndv=300, fpp=0.01)
+    filters.cache().count()
+    probe = spark.range(2_000).select(
+        F.when(F.col("id") % 5 == 4, F.lit(None))
+         .otherwise(F.col("id") % 4).alias("g"),
+        F.col("id").cast("string").alias("content"))
+    probe_keys = with_content_key_bin(probe, "content") \
+        .select("g", "key", "content")
+    got = {r["content"]: (r["g"], r["maybe_seen"])
+           for r in probe_with_filters(probe_keys, filters, ["g"],
+                                       via="broadcast").collect()}
+    assert len(got) == 2_000
+    for i in range(2_000):
+        g, seen = got[str(i)]
+        if i % 5 == 4:
+            assert g is None and seen is False  # null group: no match
+        elif i < 1_000 and i % 4 == g:
+            assert seen  # zero FN for build keys in their group
+    filters.unpersist()
