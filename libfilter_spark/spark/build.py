@@ -476,14 +476,32 @@ def _grouped_bitor_assemble(proj: DataFrame, group_cols: list[str],
             # pd.factorize (use_na_sentinel=False) assigns null group
             # values a real code — np.unique would try to SORT an
             # object array containing None and raise TypeError.
-            gkey = _np.zeros(batch.num_rows, dtype=_np.int64)
+            invs, sizes = [], []
             for col in gvals:
                 inv, u = pd.factorize(_np.asarray(col, dtype=object),
                                       use_na_sentinel=False)
-                gkey = gkey * _np.int64(max(len(u), 1)) \
-                    + inv.astype(_np.int64)
-            order = _np.argsort(gkey, kind="stable")
-            bounds = _np.flatnonzero(_np.diff(gkey[order])) + 1
+                invs.append(inv.astype(_np.int64))
+                sizes.append(max(len(u), 1))
+            prod = 1
+            for s in sizes:
+                prod *= s
+            if prod < (1 << 62):
+                gkey = _np.zeros(batch.num_rows, dtype=_np.int64)
+                for inv, s in zip(invs, sizes):
+                    gkey = gkey * _np.int64(s) + inv
+                order = _np.argsort(gkey, kind="stable")
+                gs = gkey[order]
+                bounds = _np.flatnonzero(gs[1:] != gs[:-1]) + 1
+            else:
+                # combined code would overflow int64 (product of
+                # per-column cardinalities ≥ 2^62): lexsort the code
+                # TUPLE instead — same segmentation, no overflow
+                order = _np.lexsort(invs[::-1])
+                diff = _np.zeros(batch.num_rows - 1, dtype=bool)
+                for inv in invs:
+                    s = inv[order]
+                    diff |= s[1:] != s[:-1]
+                bounds = _np.flatnonzero(diff) + 1
             for seg in _np.split(order, bounds):
                 g = tuple(col[seg[0]] for col in gvals)
                 sl = slices.get(g)

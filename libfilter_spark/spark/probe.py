@@ -167,11 +167,32 @@ def _collect_shard_rows_auto(filters_df: DataFrame) -> list | None:
     session_parts = int(filters_df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"))
     if session_parts <= 64:
-        # plain collect + post-collect check — the iterator pays
-        # ~90 ms of sequential mini-job scheduling PER PARTITION
-        # (measured 4.6 s vs 1.5 s on the 5M-key probe bench), and the
-        # over-budget shard frames the budget guards against are a
-        # big-session shape (hundreds of shuffle partitions).
+        # plain collect + budget checks — the iterator pays ~90 ms of
+        # sequential mini-job scheduling PER PARTITION (measured 4.6 s
+        # vs 1.5 s on the 5M-key probe bench), and the over-budget
+        # shard frames the budget guards against are a big-session
+        # shape (hundreds of shuffle partitions). A narrow first()
+        # job estimates n_shards × first-blob bytes BEFORE the blobs
+        # land in driver memory (shard sizing is uniform, so the
+        # estimate is tight); the post-collect check stays as the
+        # exact gate for non-uniform frames.
+        import json as _json
+        head = filters_df.select(
+            "params", F.length("filter").alias("l")).first()
+        if head is None:
+            return []
+        try:
+            n_sh = int(_json.loads(head["params"]).get("n_shards", 1))
+        except (ValueError, TypeError):
+            n_sh = 1
+        if n_sh * int(head["l"]) > _BROADCAST_MAX:
+            import warnings
+            warnings.warn(
+                "estimated shard blobs exceed LIBFILTER_BROADCAST_MAX "
+                "(n_shards x first blob); falling back to the shuffle "
+                "probe before any blob reaches the driver — pass "
+                "via='shuffle' to skip the estimate job too")
+            return None
         rows = sel.collect()
         if sum(len(r["filter"]) for r in rows) > _BROADCAST_MAX:
             import warnings
@@ -291,19 +312,27 @@ def _content_token(filter_map: dict) -> str:
     deserialize/assembly it lets workers skip."""
     import hashlib
     h = hashlib.blake2b(digest_size=16)
+
+    def upd(x: bytes) -> None:
+        # length-framed: the token stays injective over the blob-list
+        # STRUCTURE (two partitionings whose bytes concatenate
+        # identically must not collide)
+        h.update(len(x).to_bytes(8, "little"))
+        h.update(x)
+
     for g in sorted(filter_map, key=repr):
         fam, blob = filter_map[g]
-        h.update(repr((g, fam)).encode())
+        upd(repr((g, fam)).encode())
         if isinstance(blob, (bytes, bytearray)):
-            h.update(blob)
+            upd(blob)
         elif isinstance(blob, tuple):  # (n_shards, {shard: blob})
-            h.update(str(blob[0]).encode())
+            upd(str(blob[0]).encode())
             for s in sorted(blob[1]):
-                h.update(str(s).encode())
-                h.update(blob[1][s])
+                upd(str(s).encode())
+                upd(blob[1][s])
         else:  # list of slice blobs
             for x in blob:
-                h.update(x)
+                upd(x)
     return h.hexdigest()
 
 
@@ -381,6 +410,12 @@ def _attach_assembled(asm_meta: dict):
     if not os.path.exists(path):
         return None
     try:
+        # refresh mtime so the TTL sweep in _publish_assembled never
+        # unlinks state a long-running app is still actively attaching
+        os.utime(path)
+    except OSError:
+        pass
+    try:
         if asm_meta["kind"] == "tbf_level0_set":
             mm = np.memmap(path, dtype=np.uint64, mode="r")
             n_sh = int(asm_meta["n_shards"])
@@ -391,9 +426,37 @@ def _attach_assembled(asm_meta: dict):
             state = np.array(mm) if _SHM_ASM_COPY else mm
             return _TbfForestProbe(n_sh, nb, state)
         mm32 = np.memmap(path, dtype=np.uint32, mode="r")
+        exp = asm_meta.get("bytes")
+        if exp is not None and mm32.size * 4 != exp:
+            return None  # truncated/foreign file: assemble privately
         return BlockFilter(np.array(mm32) if _SHM_ASM_COPY else mm32)
     except (OSError, ValueError):
         return None
+
+
+def _takeover_stale_lock(lock: str, st: os.stat_result) -> bool:
+    """Remove a STALE publisher lock with compare-and-swap semantics:
+    atomically rename the lock aside (one winner per inode), confirm
+    by inode that what we grabbed IS the stale lock we observed, and
+    only then unlink it. Without the confirm, two waiters can both
+    observe staleness and the slower one unlinks the faster taker's
+    FRESH lock — two publishers then build concurrently (benign but
+    wasteful: identical content, atomic rename). Returns True when the
+    stale lock was removed."""
+    claim = f"{lock}.{os.getpid()}.takeover"
+    try:
+        os.rename(lock, claim)
+    except OSError:
+        return False  # someone else won the rename (or lock vanished)
+    try:
+        if os.stat(claim).st_ino == st.st_ino:
+            os.unlink(claim)
+            return True
+        # we raced a fresh lock into the claim slot — restore it
+        os.rename(claim, lock)
+    except OSError:
+        pass
+    return False
 
 
 def _publish_assembled(asm_meta: dict, build_fn):
@@ -435,9 +498,9 @@ def _publish_assembled(asm_meta: dict, build_fn):
             # publisher in flight: wait for the file, stealing the
             # lock only if its holder looks dead
             try:
-                if time.time() - os.path.getmtime(lock) \
-                        > _ASM_LOCK_STALE_S:
-                    os.unlink(lock)
+                st = os.stat(lock)
+                if time.time() - st.st_mtime > _ASM_LOCK_STALE_S:
+                    _takeover_stale_lock(lock, st)
                     continue
             except OSError:
                 continue  # lock vanished → re-check file
@@ -743,6 +806,10 @@ def _probe_shard_frame(df: DataFrame, filters_df: DataFrame,
             and _blob_bytes(collected[()][1]) >= _SHM_ASM_MIN:
         asm_meta = {"token": token, "kind": kind,
                     "n_shards": int(p["n_shards"])}
+        if kind == "block_slice_set" and "num_buckets" in p:
+            # exact expected size of the assembled global filter —
+            # lets the attacher reject a truncated/foreign file
+            asm_meta["bytes"] = int(p["num_buckets"]) * 32
     bc = _get_bc(spark, collected, token)
     if fp_key is not None:
         while len(_SHARD_PROBE_CACHE) >= _BC_CACHE_MAX:

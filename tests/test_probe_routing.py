@@ -562,3 +562,196 @@ def test_grouped_probe_int_group_with_nulls(spark):
         elif i < 1_000 and i % 4 == g:
             assert seen  # zero FN for build keys in their group
     filters.unpersist()
+
+
+def test_small_session_precheck_keeps_blobs_off_driver(spark,
+                                                       monkeypatch):
+    """Round-5 verdict task 5(b): on a SMALL session (≤64 shuffle
+    partitions) an over-budget uncached shard frame must route to the
+    shuffle probe from the n_shards × first-blob-length ESTIMATE —
+    i.e. before the full blob collect — not from a post-collect check
+    that already materialized everything in driver memory."""
+    import warnings
+
+    import libfilter_spark.spark.probe as P
+    from libfilter_spark.spark.sharded import build_block_shards
+
+    base = spark.range(3_000).select(
+        F.col("id").cast("string").alias("content"))
+    keys = with_content_key_bin(base, "content").select("key")
+    shards = build_block_shards(keys, ndv=3_000, fpp=0.01, n_shards=4)
+    probe = spark.range(6_000).select(
+        F.col("id").cast("string").alias("content"))
+    probe_keys = with_content_key_bin(probe, "content") \
+        .select("key", "content")
+    expect = {r["content"]: r["maybe_seen"]
+              for r in probe_with_filters(probe_keys, shards, None,
+                                          via="broadcast").collect()}
+    monkeypatch.setattr(P, "_BROADCAST_MAX", 8)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {r["content"]: r["maybe_seen"]
+               for r in probe_with_filters(probe_keys, shards,
+                                           None).collect()}
+    # the ESTIMATE warning proves the fallback fired pre-collect
+    assert any("estimated shard blobs" in str(x.message) for x in w)
+    assert got == expect
+    assert all(got[str(i)] for i in range(3_000))
+
+
+def test_truncated_published_state_falls_back():
+    """A truncated/garbage file at the published asm path (e.g. a
+    crashed publisher plus an unlucky rename) must be REJECTED by the
+    attacher for both assembled kinds; the worker then republishes
+    correct state over it and answers exactly."""
+    import os
+    import uuid
+
+    import numpy as np
+    import pytest as _pytest
+
+    if not os.path.isdir("/dev/shm"):
+        _pytest.skip("no /dev/shm")
+    import libfilter_spark.spark.probe as P
+    from libfilter_spark.filters import BlockFilter
+    from libfilter_spark.filters.block import BlockSliceFilter
+    from libfilter_spark.filters.taffy_block import TaffyBlockFilter
+    from libfilter_spark.kernels import block as K
+    from libfilter_spark.kernels.keys import shard_of_keys, splitmix64
+
+    keys = splitmix64(20_000, seed=11)
+    absent = splitmix64(40_000, seed=11)[20_000:]
+
+    class FakeBC:
+        def __init__(self, token, fmap):
+            self.value = (token, fmap)
+
+    made = []
+    try:
+        # --- block_slice_set kind (exact-bytes meta guard) ---
+        full = BlockFilter.create_with_ndv_fpp(20_000, 0.004)
+        full.add_hashes(keys)
+        st = full.state
+        w = K.WORDS_PER_BUCKET
+        nb = st.size // w
+        bounds = [0, nb // 2, nb]
+        slices = [BlockSliceFilter(nb, lo,
+                                   st[lo * w:hi * w]).serialize()
+                  for lo, hi in zip(bounds, bounds[1:])]
+        token = uuid.uuid4().hex
+        meta = {"token": token, "kind": "block_slice_set",
+                "n_shards": 2, "bytes": nb * 32}
+        path = P._asm_path(token, "block_slice_set")
+        made.append(path)
+        np.zeros(7, dtype=np.uint8).tofile(path)  # truncated garbage
+        assert P._attach_assembled(meta) is None
+        P._FILTER_CACHE.clear()
+        got = P._materialize(
+            FakeBC(token, {(): ("block_slice_set", slices)}), meta)[()]
+        assert got.find_hashes(keys).all()
+        assert np.array_equal(got.find_hashes(absent),
+                              full.find_hashes(absent))
+        assert os.path.getsize(path) == nb * 32  # republished correct
+
+        # --- tbf_level0_set kind (size-divisibility guard) ---
+        n_sh = 4
+        shards = shard_of_keys(keys, n_sh, binary=False)
+        blobs = {}
+        for s in range(n_sh):
+            f = TaffyBlockFilter.create(8_000, 0.004)
+            f.add_hashes(keys[shards == s])
+            blobs[s] = f.serialize()
+        token2 = uuid.uuid4().hex
+        meta2 = {"token": token2, "kind": "tbf_level0_set",
+                 "n_shards": n_sh}
+        path2 = P._asm_path(token2, "tbf_level0_set")
+        made.append(path2)
+        np.zeros(13, dtype=np.uint8).tofile(path2)  # non-divisible
+        assert P._attach_assembled(meta2) is None
+        P._FILTER_CACHE.clear()
+        got2 = P._materialize(
+            FakeBC(token2, {(): ("tbf_level0_set", (n_sh, blobs))}),
+            meta2)[()]
+        assert got2.find(keys, binary=False).all()
+    finally:
+        P._FILTER_CACHE.clear()
+        for pth in made:
+            try:
+                os.unlink(pth)
+            except OSError:
+                pass
+
+
+def test_stale_lock_takeover_is_compare_and_swap():
+    """Round-5 verdict: two waiters can both observe a stale lock; the
+    slower one must NOT unlink the faster taker's FRESH lock. The
+    takeover confirms by inode before unlinking (rename-aside CAS) and
+    restores a fresh lock it grabbed by accident."""
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.isdir("/dev/shm"):
+        _pytest.skip("no /dev/shm")
+    import libfilter_spark.spark.probe as P
+
+    lock = f"/dev/shm/libfilter_asm_testcas_{os.getpid()}.lock"
+    try:
+        with open(lock, "w") as fh:
+            fh.write("stale-holder")
+        st = os.stat(lock)
+        # another waiter already took over: stale unlinked, FRESH lock
+        # created at the same path (new inode)
+        os.unlink(lock)
+        with open(lock, "w") as fh:
+            fh.write("fresh-holder")
+        assert P._takeover_stale_lock(lock, st) is False
+        assert os.path.exists(lock)  # fresh lock survived
+        with open(lock) as fh:
+            assert fh.read() == "fresh-holder"
+        # the genuine stale case (inode unchanged) removes the lock
+        st2 = os.stat(lock)
+        assert P._takeover_stale_lock(lock, st2) is True
+        assert not os.path.exists(lock)
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
+def test_grouped_jvm_many_group_cols_no_overflow(spark):
+    """ADVICE r5: the assemble stage's combined group code used to be
+    gkey = gkey*|u| + inv, which overflows int64 when the product of
+    per-column cardinalities tops 2^63 — silently merging distinct
+    groups into one filter slice. Ten ~hundred-unique columns force
+    the lexsort fallback; every build key must still probe true in
+    its own group (a merged slice would also create cross-group false
+    positives at far above the configured fpp)."""
+    import json as _json
+
+    from libfilter_spark.spark.build import (_build_grouped_block_jvm,
+                                             _result_schema)
+
+    n = 600
+    gcols = [f"g{i}" for i in range(10)]
+    base = spark.range(n).select(
+        F.col("id"),
+        F.col("id").cast("string").alias("content"),
+        *[((F.col("id") * (i + 3)) % 101).cast("string").alias(c)
+          for i, c in enumerate(gcols)])
+    keys = with_content_key_bin(base, "content") \
+        .select(*gcols, "key").coalesce(1)  # one batch: max uniques
+    params = _json.dumps({"ndv": 64, "fpp": 0.01})
+    filters = _build_grouped_block_jvm(
+        keys, gcols, "key", 64, 0.01, params,
+        _result_schema(keys, gcols))
+    filters.cache()
+    # none merged: one filter per DISTINCT group tuple (all columns
+    # derive from id mod 101, so 101 groups)
+    n_groups = keys.select(*gcols).distinct().count()
+    assert filters.count() == n_groups == 101
+    found = probe_with_filters(keys, filters, gcols) \
+        .where("maybe_seen").count()
+    assert found == n
+    filters.unpersist()

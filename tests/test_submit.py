@@ -51,6 +51,8 @@ spark.stop()
 
 @pytest.mark.skipif(shutil.which("spark-submit") is None,
                     reason="spark-submit not on PATH")
+@pytest.mark.skipif(not os.path.isdir(SF),
+                    reason=f"test dataset {SF} not present")
 def test_spark_submit_pyfiles_semijoin(tmp_path):
     zip_path = tmp_path / "libfilter_spark.zip"
     r = subprocess.run([sys.executable,
