@@ -110,7 +110,7 @@ def main() -> None:
             fam_fpp = 0.004 if family == "taffy_block" else 0.01
             filters = build_filter_forest(
                 present, "key", family, ndv=n_shards * 64, fpp=fam_fpp,
-                n_shards=n_shards).cache()
+                n_shards=n_shards, freeze=False).cache()  # live growth profile
         n_built = filters.count()
         build_s = time.perf_counter() - t0
         fbytes = filters.agg(F.sum(F.length("filter"))).first()[0]

@@ -776,7 +776,8 @@ def q_tcf_forest_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     build = _keyed(orders, "o_orderkey")
     probe = _keyed(lineitem, "l_orderkey")
     forest = build_filter_forest(build, "key", "taffy_cuckoo",
-                                 ndv=1 << 14, fpp=0.01, n_shards=8)
+                                 ndv=1 << 14, fpp=0.01, n_shards=8,
+                                 freeze=False)  # live shards on purpose
     hits = forest_semi_join(probe, build, forest, "key")
     return (hits.groupBy("l_returnflag")
             .agg(F.count(F.lit(1)).alias("n_rows"),
@@ -812,9 +813,10 @@ def q_frozen_tcf_forest_semijoin(spark: SparkSession,
     orders = load_table(spark, sf_dir, "orders")
     build = _keyed(customers, "c_custkey")
     probe = _keyed(orders, "o_custkey")
+    # no freeze= argument: probe_only forests freeze BY DEFAULT
+    # (round-6) — this query pins the default serving shape
     forest = build_filter_forest(build, "key", "taffy_cuckoo",
-                                 ndv=1 << 13, fpp=0.01, n_shards=8,
-                                 freeze=True)
+                                 ndv=1 << 13, fpp=0.01, n_shards=8)
     hits = forest_semi_join(probe, build, forest, "key")
     return (hits.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_orders"),
@@ -1030,7 +1032,8 @@ def q_fpp_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # collect) — without it each read is a full rebuild
         forest = build_filter_forest(build, "key", family,
                                      ndv=max(n_build, 1024), fpp=0.01,
-                                     n_shards=8).cache()
+                                     n_shards=8,
+                                     freeze=False).cache()  # live fpp model
         hits = probe_with_forest(absent, forest, "key") \
             .where("maybe_seen").count()
         measured = hits / max(n_absent, 1)

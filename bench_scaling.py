@@ -108,7 +108,8 @@ for family in ("taffy_block", "taffy_cuckoo"):
         t0 = time.perf_counter()
         forest = build_filter_forest(keys2, "key", family,
                                      ndv=n_taffy, fpp=0.004,
-                                     n_shards=2 * cpus)
+                                     n_shards=2 * cpus,
+                                     freeze=False)  # live: longitudinal row
         rows = forest.collect()
         best = min(best, time.perf_counter() - t0)
     forest_df = spark.createDataFrame(rows, forest.schema).cache()

@@ -92,7 +92,8 @@ def build_filter_forest(df: DataFrame, key_col: str = "key",
                         ndv: int = 1 << 20, fpp: float = 0.01,
                         n_shards: int | None = None,
                         engine: str = "auto",
-                        freeze: bool = False) -> DataFrame:
+                        freeze: bool | None = None,
+                        probe_only: bool = True) -> DataFrame:
     """→ one filter row per shard: (__shard, family, params, n_keys,
     n_partials=1, filter). ``ndv`` is the TOTAL population hint; each
     shard pre-sizes to its share.
@@ -125,13 +126,25 @@ def build_filter_forest(df: DataFrame, key_col: str = "key",
     (``taffy-cuckoo.c:127-160``: tails dropped, 4×10-bit fingerprints
     SWAR-packed per bucket) — the read-only serving shape the
     reference freezes for (HIBP, ``taffy.tex:1791-1800``): blobs
-    ~40% smaller to broadcast and the probe runs the SWAR find (55 ns
-    vs 140 measured). Zero false negatives are preserved by
+    ~40% smaller to broadcast, the probe runs the SWAR find (66 vs
+    162 ns/key kernel-level), and uniform frozen shards probe through
+    the assembled one-matrix fast path (spark/probe.py
+    _FrozenTcfForestProbe). Zero false negatives are preserved by
     construction (freeze never drops a fingerprint); the frozen
-    forest cannot absorb further inserts.
+    forest cannot absorb further inserts, and dropping the tails
+    raises the structural FPP to the tail-less ~SLOTS·2^-HEAD level.
+
+    ``probe_only`` (default True) makes frozen the DEFAULT serving
+    shape when ``freeze`` is unset: a taffy_cuckoo forest a caller
+    never declared mutable serializes frozen — the path of least
+    resistance IS the reference's read-only serving form. Pass
+    ``probe_only=False`` (or ``freeze=False``) to keep live shards
+    (full tails: lower FPP, later absorb/upsize possible).
     """
     from pyspark.sql.types import BinaryType as _Bin
     spark = df.sparkSession
+    if freeze is None:
+        freeze = probe_only and family == "taffy_cuckoo"
     if freeze and family != "taffy_cuckoo":
         raise ValueError(
             "freeze=True applies to the taffy_cuckoo family only "

@@ -287,6 +287,151 @@ class _TbfForestProbe:
         return (g == m64).all(axis=1)
 
 
+class _FrozenTcfForestProbe:
+    """Assembled probe view of a FROZEN taffy-cuckoo forest (the
+    read-only serving shape, ``taffy-cuckoo.h:236-273``). Frozen
+    buckets are flat 4×10-bit SWAR words and every shard of a
+    pre-sized forest shares one ``log_side_size`` and the default
+    entropy table (``taffy-cuckoo.c:100-102``), so the per-side bucket
+    arrays concatenate into ONE (S << log) u64 matrix: global bucket =
+    shard << log | bucket, and — because the Feistel keys are shared —
+    the permutation is computed ONCE per batch for ALL shards. This
+    replaces the grouped route's per-batch argsort segmentation + S
+    tiny ``find_hashes`` calls (its measured ceiling: ~2.5 Mk/s at
+    2M keys / 64 shards) with two vectorized SWAR passes. Stash
+    entries fold into one sorted shard-prefixed side table; keys
+    routed to a shard with NO row in the frame report False (parity
+    with the grouped route, which the fp==0 always-true quirk would
+    otherwise break on missing shards)."""
+
+    def __init__(self, n_shards: int, log: int, entropy: tuple,
+                 data: list, stashes: list, present: "np.ndarray"):
+        self.n_shards = n_shards
+        self.log = log
+        self.entropy = entropy
+        self.data = data          # [D0, D1] u64, each (S << log)
+        self.stashes = stashes    # [s0, s1] SORTED u64 arrays
+        self.present = present    # (S,) bool
+
+    @classmethod
+    def assemble(cls, n_shards: int, shard_blobs: dict[int, bytes]):
+        """→ _FrozenTcfForestProbe, or None when shards are not
+        uniform (different log_side_size or entropy — a grown shard)."""
+        from ..filters.taffy_cuckoo import HEAD, FrozenTaffyCuckooFilter
+        log = entropy = None
+        per = {}
+        for s, blob in shard_blobs.items():
+            f = FrozenTaffyCuckooFilter.deserialize(blob)
+            if log is None:
+                log, entropy = f.log_side_size, f.entropy
+            elif f.log_side_size != log or f.entropy != entropy:
+                return None
+            per[s] = f
+        if log is None:
+            return None
+        nb = 1 << log
+        data = [np.zeros(n_shards * nb, dtype=np.uint64)
+                for _ in range(2)]
+        stash_parts: list[list] = [[], []]
+        present = np.zeros(n_shards, dtype=bool)
+        shift = np.uint64(log + HEAD)
+        for s, f in per.items():
+            present[s] = True
+            for i in range(2):
+                data[i][s * nb:(s + 1) * nb] = f.data[i]
+                if len(f.stashes[i]):
+                    stash_parts[i].append(
+                        (np.uint64(s) << shift)
+                        | f.stashes[i].astype(np.uint64))
+        stashes = [np.sort(np.concatenate(x)) if x
+                   else np.zeros(0, dtype=np.uint64)
+                   for x in stash_parts]
+        return cls(n_shards, log, entropy, data, stashes, present)
+
+    def to_raw(self) -> "np.ndarray":
+        """Flat u64 image for the /dev/shm publisher: [log, ns0, ns1,
+        entropy×8, present (S), D0, D1, stash0, stash1]."""
+        header = np.array([self.log, self.stashes[0].size,
+                           self.stashes[1].size, *self.entropy],
+                          dtype=np.uint64)
+        return np.concatenate(
+            [header, self.present.astype(np.uint64),
+             self.data[0], self.data[1],
+             self.stashes[0], self.stashes[1]])
+
+    @classmethod
+    def from_raw(cls, n_shards: int, raw: "np.ndarray"):
+        """Inverse of to_raw; None on any size mismatch (truncated or
+        foreign file ⇒ caller assembles privately)."""
+        if raw.size < 11 + n_shards:
+            return None
+        log, ns0, ns1 = int(raw[0]), int(raw[1]), int(raw[2])
+        if not 1 <= log <= 48:
+            return None
+        nb = 1 << log
+        if raw.size != 11 + n_shards + 2 * n_shards * nb + ns0 + ns1:
+            return None
+        entropy = tuple(int(x) for x in raw[3:11])
+        off = 11
+        present = raw[off:off + n_shards].astype(bool)
+        off += n_shards
+        span = n_shards * nb
+        d0 = raw[off:off + span]
+        d1 = raw[off + span:off + 2 * span]
+        off += 2 * span
+        return cls(n_shards, log, entropy, [d0, d1],
+                   [raw[off:off + ns0], raw[off + ns0:off + ns0 + ns1]],
+                   present)
+
+    def find(self, keys: "np.ndarray", binary: bool) -> "np.ndarray":
+        from ..filters.taffy_cuckoo import FP_MASK, HEAD, _has_value_10
+        from ..kernels.feistel import feistel_forward_batch
+        from ..kernels.keys import shard_of_keys
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        h = keys.astype(np.uint64, copy=False)
+        shards = shard_of_keys(keys, self.n_shards,
+                               binary=binary).astype(np.int64)
+        log = self.log
+        base = shards << np.int64(log)
+        y = h >> np.uint64(64 - log - HEAD)
+        e = self.entropy
+        kp = [((e[0], e[1]), (e[2], e[3])),
+              ((e[4], e[5]), (e[6], e[7]))]
+        out = np.zeros(len(h), dtype=bool)
+        sh_code = shards.astype(np.uint64) << np.uint64(log + HEAD)
+        for i in range(2):
+            permuted = feistel_forward_batch(kp[i], log + HEAD, y)
+            bucket = (permuted >> np.uint64(HEAD)).astype(np.int64)
+            fp = permuted & np.uint64(FP_MASK)
+            z = self.data[i][base + bucket]
+            out |= (fp == np.uint64(0)) | _has_value_10(z, fp)
+            st = self.stashes[i]
+            if st.size:
+                code = sh_code | permuted
+                pos = np.searchsorted(st, code)
+                np.minimum(pos, st.size - 1, out=pos)
+                out |= st[pos] == code
+        return out & self.present[shards]
+
+
+def _frozen_tcf_uniform(shard_blobs: dict[int, bytes]) -> bool:
+    """Driver-side eligibility for the assembled frozen-TCF probe:
+    every shard shares one (log_side_size, entropy) header — a
+    65-byte prefix compare, no bucket data touched."""
+    from ..filters.taffy_cuckoo import _FROZEN_MAGIC
+    sig = None
+    for blob in shard_blobs.values():
+        if blob[:4] != _FROZEN_MAGIC or len(blob) < 69:
+            return False
+        hdr = blob[4:69]  # log (1B) + entropy (64B)
+        if sig is None:
+            sig = hdr
+        elif hdr != sig:
+            return False
+    return sig is not None
+
+
 def _tbf_level0_uniform(shard_blobs: dict[int, bytes]) -> bool:
     """Driver-side eligibility for the assembled forest probe: every
     shard single-level with one shared level-0 bucket count
@@ -425,6 +570,11 @@ def _attach_assembled(asm_meta: dict):
                 return None  # truncated/foreign file: assemble privately
             state = np.array(mm) if _SHM_ASM_COPY else mm
             return _TbfForestProbe(n_sh, nb, state)
+        if asm_meta["kind"] == "frozen_tcf_set":
+            mm = np.memmap(path, dtype=np.uint64, mode="r")
+            arr = np.array(mm) if _SHM_ASM_COPY else mm
+            return _FrozenTcfForestProbe.from_raw(
+                int(asm_meta["n_shards"]), arr)
         mm32 = np.memmap(path, dtype=np.uint32, mode="r")
         exp = asm_meta.get("bytes")
         if exp is not None and mm32.size * 4 != exp:
@@ -549,6 +699,11 @@ def _asm_build_from_map(filter_map: dict):
         pv = _TbfForestProbe.assemble(n_sh, shard_blobs)
         assert pv is not None  # driver checked eligibility
         return pv, pv.b64
+    if fam == "frozen_tcf_set":
+        n_sh, shard_blobs = blob
+        pv = _FrozenTcfForestProbe.assemble(n_sh, shard_blobs)
+        assert pv is not None  # driver checked eligibility
+        return pv, pv.to_raw()
     raw = np.frombuffer(_assembled_block_bytes(blob), np.uint8)
     return BlockFilter(raw.view(np.uint32)), raw
 
@@ -593,6 +748,14 @@ def _materialize(bc, asm_meta: dict | None = None) -> dict:
                 # publish path above handled the asm_meta case
                 n_sh, shard_blobs = blob
                 cached[g] = _TbfForestProbe.assemble(n_sh, shard_blobs)
+                assert cached[g] is not None  # driver checked eligibility
+                continue
+            if fam == "frozen_tcf_set":
+                # uniform frozen-TCF forest: one concatenated SWAR
+                # matrix per side (see _FrozenTcfForestProbe)
+                n_sh, shard_blobs = blob
+                cached[g] = _FrozenTcfForestProbe.assemble(n_sh,
+                                                           shard_blobs)
                 assert cached[g] is not None  # driver checked eligibility
                 continue
             if fam == "block_slice_set":
@@ -794,6 +957,16 @@ def _probe_shard_frame(df: DataFrame, filters_df: DataFrame,
             collected = {(): ("tbf_level0_set",
                               (int(p["n_shards"]), shard_blobs))}
             mode, kind = "global", "tbf_level0_set"
+    elif all(r["family"] == "frozen_taffy_cuckoo" for r in rows):
+        # uniform frozen-TCF forest (the read-only serving shape):
+        # concatenated SWAR matrices, shared Feistel keys — one
+        # vectorized two-side pass per batch instead of S find calls
+        shard_blobs = {int(r["__shard"]): bytes(r["filter"])
+                       for r in rows}
+        if _frozen_tcf_uniform(shard_blobs):
+            collected = {(): ("frozen_tcf_set",
+                              (int(p["n_shards"]), shard_blobs))}
+            mode, kind = "global", "frozen_tcf_set"
     if mode == "grouped":
         collected = {(int(r["__shard"]),): (r["family"],
                                             bytes(r["filter"]))
@@ -892,7 +1065,7 @@ def _broadcast_probe_udf(df: DataFrame, bc, group_cols: list[str],
         if f is None:
             return pa.array(np.zeros(len(keys), dtype=bool))
         k, valid = keys_and_valid_from_arrow(keys)
-        if isinstance(f, _TbfForestProbe):
+        if isinstance(f, (_TbfForestProbe, _FrozenTcfForestProbe)):
             # the assembled forest routes by the xxhash64 replica,
             # which hashes binary and int64 key columns differently —
             # the Arrow type is the authority

@@ -167,7 +167,8 @@ def test_frozen_tcf_forest(spark):
     df = spark.range(n).withColumn("content", F.col("id").cast("string"))
     keys = with_content_key_bin(df, "content").select("key")
     live = build_filter_forest(keys, "key", "taffy_cuckoo", ndv=n,
-                               fpp=0.01, n_shards=8).cache()
+                               fpp=0.01, n_shards=8,
+                               freeze=False).cache()
     frozen = build_filter_forest(keys, "key", "taffy_cuckoo", ndv=n,
                                  fpp=0.01, n_shards=8,
                                  freeze=True).cache()
@@ -239,3 +240,127 @@ def test_tbf_forest_jvm_engine_byte_identical(spark):
         engine="jvm")
     with _pytest.raises(Exception, match="level-0 capacity"):
         tiny.collect()
+
+
+def test_assembled_frozen_tcf_probe_unit():
+    """The assembled frozen-TCF forest probe (round-6, verdict task 2)
+    must answer EXACTLY like per-shard FrozenTaffyCuckooFilter finds:
+    zero FN on present keys, bit-identical FP pattern on absent keys,
+    stash entries findable through the shard-prefixed side table, and
+    keys routed to a MISSING shard reported False (the fp==0
+    always-true quirk must not leak through empty matrix rows). Also
+    pins the to_raw/from_raw publisher image roundtrip and its
+    truncation rejection."""
+    import numpy as np
+
+    import libfilter_spark.spark.probe as P
+    from libfilter_spark.filters import TaffyCuckooFilter
+    from libfilter_spark.kernels.keys import shard_of_keys, splitmix64
+
+    n, n_sh = 60_000, 8
+    keys = splitmix64(n, seed=21)
+    absent = splitmix64(2 * n, seed=21)[n:]
+    shards = shard_of_keys(keys, n_sh, binary=False)
+    blobs, frozen = {}, {}
+    for s in range(n_sh - 1):  # shard 7 deliberately MISSING
+        f = TaffyCuckooFilter.create(n // n_sh)
+        f.add_hashes(keys[shards == s])
+        fr = f.freeze()
+        frozen[s] = fr
+        blobs[s] = fr.serialize()
+    assert P._frozen_tcf_uniform(blobs)
+    pv = P._FrozenTcfForestProbe.assemble(n_sh, blobs)
+    assert pv is not None
+    # zero FN for keys of PRESENT shards
+    present_mask = shards != (n_sh - 1)
+    got = pv.find(keys, binary=False)
+    assert got[present_mask].all()
+    # missing shard: always False, even for fp==0 keys
+    assert not got[~present_mask].any()
+    # absent keys: per-shard bit-parity with the real frozen filters
+    a_sh = shard_of_keys(absent, n_sh, binary=False)
+    expect = np.zeros(len(absent), dtype=bool)
+    for s, fr in frozen.items():
+        sel = a_sh == s
+        expect[sel] = fr.find_hashes(absent[sel])
+    assert np.array_equal(pv.find(absent, binary=False), expect)
+    # publisher image roundtrip
+    raw = pv.to_raw()
+    pv2 = P._FrozenTcfForestProbe.from_raw(n_sh, raw)
+    assert pv2 is not None
+    assert np.array_equal(pv2.find(absent, binary=False), expect)
+    assert pv2.find(keys, binary=False)[present_mask].all()
+    # truncated image rejected
+    assert P._FrozenTcfForestProbe.from_raw(n_sh, raw[:-3]) is None
+    assert P._FrozenTcfForestProbe.from_raw(
+        n_sh, np.zeros(5, dtype=np.uint64)) is None
+    # non-uniform shards (different log_side_size) not eligible
+    big = TaffyCuckooFilter.create(50 * n)
+    big.add_hashes(keys[:100])
+    blobs2 = dict(blobs)
+    blobs2[n_sh - 1] = big.freeze().serialize()
+    assert not P._frozen_tcf_uniform(blobs2)
+    assert P._FrozenTcfForestProbe.assemble(n_sh, blobs2) is None
+
+
+def test_assembled_frozen_tcf_probe_matches_grouped(spark):
+    """Spark end-to-end: a frozen TCF forest probes through the
+    assembled fast path; answers must equal the grouped shard route
+    for binary AND long keys on present + absent + null keys."""
+    import libfilter_spark.spark.probe as P
+    from libfilter_spark.spark.forest import (SHARD_COL,
+                                              build_filter_forest,
+                                              probe_with_forest,
+                                              with_shard)
+    from libfilter_spark.spark.keys import (with_content_key,
+                                            with_content_key_bin)
+    n = 30_000
+    df = spark.range(n).withColumn("content", F.col("id").cast("string"))
+    absent = spark.range(n, 2 * n).withColumn(
+        "content", F.col("id").cast("string"))
+    for keyfn in (with_content_key_bin,
+                  lambda d, c: with_content_key(d, c, hex_col=None)):
+        keys = keyfn(df, "content").select("key")
+        akeys = keyfn(absent, "content").select("key")
+        forest = build_filter_forest(keys, "key", "taffy_cuckoo",
+                                     ndv=n, fpp=0.01, n_shards=8,
+                                     freeze=True).cache()
+        rows = forest.collect()
+        blobs = {int(r["__shard"]): bytes(r["filter"]) for r in rows}
+        assert P._frozen_tcf_uniform(blobs)  # fast path eligible
+        found = probe_with_forest(keys, forest, "key") \
+            .where("maybe_seen").count()
+        assert found == n  # zero FN through the assembled path
+        via_fast = probe_with_forest(akeys, forest, "key") \
+            .where("maybe_seen").count()
+        grouped_collected = {(s,): ("frozen_taffy_cuckoo", b)
+                             for s, b in blobs.items()}
+        routed = with_shard(akeys, "key", 8)
+        via_grouped = P.probe_with_filters(
+            routed, forest, [SHARD_COL], "key",
+            _collected=grouped_collected).where("maybe_seen").count()
+        assert via_fast == via_grouped
+        forest.unpersist()
+
+
+def test_probe_only_default_freezes_tcf(spark):
+    """Round-6 (verdict task 3): with no freeze argument a
+    taffy_cuckoo forest serializes FROZEN — the reference's read-only
+    serving shape is the default; probe_only=False (or freeze=False)
+    keeps live shards."""
+    from libfilter_spark.spark.forest import build_filter_forest
+    from libfilter_spark.spark.keys import with_content_key_bin
+    n = 5_000
+    df = spark.range(n).withColumn("content", F.col("id").cast("string"))
+    keys = with_content_key_bin(df, "content").select("key")
+    default = build_filter_forest(keys, "key", "taffy_cuckoo", ndv=n,
+                                  n_shards=4)
+    assert all(r["family"] == "frozen_taffy_cuckoo"
+               for r in default.collect())
+    live = build_filter_forest(keys, "key", "taffy_cuckoo", ndv=n,
+                               n_shards=4, probe_only=False)
+    assert all(r["family"] == "taffy_cuckoo" for r in live.collect())
+    # non-cuckoo families are unaffected by the default
+    tbf = build_filter_forest(keys, "key", "taffy_block", ndv=n,
+                              n_shards=4)
+    assert all(r["family"] == "taffy_block" for r in tbf.collect())

@@ -197,7 +197,8 @@ def test_tcf_forest_build_probe_semijoin(spark):
     df = (spark.range(n).withColumn("c", F.col("id").cast("string")))
     keys = with_content_key_bin(df, "c").select("key")
     forest = build_filter_forest(keys, "key", "taffy_cuckoo",
-                                 ndv=n, fpp=0.01, n_shards=16).cache()
+                                 ndv=n, fpp=0.01, n_shards=16,
+                                 freeze=False).cache()  # live: tail-intact fpp
     assert forest.count() == 16
     # zero FN over members
     probed = probe_with_forest(keys, forest, "key")

@@ -70,7 +70,7 @@ out["C_ipc"] = timed(lambda: routed.mapInArrow(
     consume, schema="n long").agg(F.sum("n")).collect())
 out["D_full"] = timed(lambda: build_filter_forest(
     keys, "key", "taffy_cuckoo", ndv=n, fpp=0.004,
-    n_shards=n_shards).collect())
+    n_shards=n_shards, freeze=False).collect())
 print(json.dumps(out))
 spark.stop()
 """

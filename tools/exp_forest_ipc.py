@@ -49,7 +49,7 @@ def timed(tag, engine, conf=None):
     for _ in range(2):
         t0 = time.perf_counter()
         rows = build_filter_forest(keys, "key", family, ndv=n, fpp=0.004,
-                                   n_shards=2 * cpus,
+                                   n_shards=2 * cpus, freeze=False,
                                    engine=engine).collect()
         best = min(best, time.perf_counter() - t0)
         assert sum(r["n_keys"] for r in rows) == n

@@ -54,7 +54,8 @@ def timed(keys):
     for _ in range(2):
         t0 = time.perf_counter()
         rows = build_filter_forest(keys, "key", "taffy_cuckoo", ndv=n,
-                                   fpp=0.004, n_shards=2 * cpus).collect()
+                                   fpp=0.004, n_shards=2 * cpus,
+                                   freeze=False).collect()
         best = min(best, time.perf_counter() - t0)
         assert sum(r["n_keys"] for r in rows) == n
     return {"s": round(best, 3), "keys_per_s": round(n / best)}
