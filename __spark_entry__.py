@@ -824,6 +824,51 @@ def q_frozen_tcf_forest_semijoin(spark: SparkSession,
                  .cast("double").alias("sum_price")))
 
 
+@_register(
+    "shuffle_grouped_semijoin_returned_parts",
+    """
+    SELECT l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM lineitem r
+                  WHERE r.l_returnflag = 'R'
+                    AND r.l_suppkey = l.l_suppkey
+                    AND r.l_partkey = l.l_partkey)
+    GROUP BY l_linestatus
+    """)
+def q_shuffle_grouped_semijoin(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Many-groups semijoin over the SHUFFLE probe route (round-6,
+    verdict task 8): ``via='shuffle'`` keeps the per-supplier filters
+    DISTRIBUTED — probe keys cogroup to the filters on the group key
+    and only the boolean joins back (spark/probe.py
+    _probe_via_cogroup). This is the 100 TB many-groups shape: at
+    10^5 groups × MB blobs no broadcast budget holds, and this route's
+    driver memory stays flat at any group count (+0.0 MB RSS measured
+    at 10^4 groups, BENCH/probe_10kgroups.json). One filter per
+    l_suppkey, keys = sha256(l_partkey) over returned items;
+    exact-verified, so DuckDB oracles it."""
+    from libfilter_spark.spark.build import build_filters
+    from libfilter_spark.spark.probe import probe_with_filters
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    build = _keyed(lineitem.where("l_returnflag = 'R'"), "l_partkey") \
+        .select("l_suppkey", "key")
+    probe = _keyed(lineitem, "l_partkey")
+    filters = build_filters(build, ["l_suppkey"], ndv=1 << 10,
+                            fpp=0.01)
+    cand = (probe_with_filters(probe, filters, ["l_suppkey"],
+                               via="shuffle")
+            .where(F.col("maybe_seen")).drop("maybe_seen"))
+    on = ["l_suppkey", "key"]
+    hits = cand.join(build.dropDuplicates(on), on=on, how="left_semi")
+    return (hits.groupBy("l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_qty")))
+
+
 @_register("ann_ivf_recall")
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (trained centroids, the predictable-recall 100TB path:

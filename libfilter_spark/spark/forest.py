@@ -160,6 +160,18 @@ def build_filter_forest(df: DataFrame, key_col: str = "key",
     cls = FAMILIES[family]
     per_shard = max(64, ndv // n_shards)
     if engine == "auto":
+        # arrow stays the auto default over arrow_packed DELIBERATELY
+        # (round-6, verdict-r5 task 7): the round-5 IPC lever sweep
+        # (BENCH/forest_ipc.json, 8M-key TCF forest, in-process
+        # min-of-2 per variant) measured arrow FASTEST ABSOLUTE at
+        # every parallelism — 10.34 s vs packed 11.43 s at local[2],
+        # 4.46 s vs 5.53 s at local[8] — with packed_big winning only
+        # the 2→8 efficiency RATIO (0.638 vs 0.58) by slowing its
+        # local[2] baseline, not by being faster at 8. A ratio-based
+        # crossover would therefore always pick the slower engine.
+        # arrow_packed is kept as an explicit opt-in for executor
+        # shapes where per-row Arrow cost dominates end-to-end time
+        # (it ships ~64k keys per row instead of one per row).
         engine = "arrow"
     if engine == "jvm":
         if family != "taffy_block":

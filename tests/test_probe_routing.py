@@ -755,3 +755,61 @@ def test_grouped_jvm_many_group_cols_no_overflow(spark):
         .where("maybe_seen").count()
     assert found == n
     filters.unpersist()
+
+
+def test_grouped_probe_content_cache_skips_recollect(spark,
+                                                     monkeypatch):
+    """Round-6 (verdict task 4): a repeat grouped probe of an
+    UNCHANGED cached filters frame must reuse the recorded broadcast —
+    no second blob collect (pinned by poisoning the collect helpers) —
+    while a frame with different content must miss the memo and
+    produce its own answers."""
+    import libfilter_spark.spark.probe as P
+
+    P._GROUPED_PROBE_CACHE.clear()
+    build = spark.range(2_000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.col("id").cast("string").alias("content"))
+    build_keys = with_content_key_bin(build, "content") \
+        .select("g", "key")
+    filters = build_filters(build_keys, ["g"], ndv=1_000, fpp=0.01)
+    filters.cache().count()
+    probe = spark.range(3_000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.col("id").cast("string").alias("content"))
+    probe_keys = with_content_key_bin(probe, "content") \
+        .select("g", "key", "content")
+    first = {(r["g"], r["content"]): r["maybe_seen"]
+             for r in probe_with_filters(probe_keys, filters,
+                                         ["g"]).collect()}
+
+    def poisoned(*a, **kw):
+        raise AssertionError("repeat probe re-collected the blobs")
+    monkeypatch.setattr(P, "collect_filters", poisoned)
+    monkeypatch.setattr(P, "_collect_filters_auto", poisoned)
+    second = {(r["g"], r["content"]): r["maybe_seen"]
+              for r in probe_with_filters(probe_keys, filters,
+                                          ["g"]).collect()}
+    assert second == first
+    monkeypatch.undo()
+
+    # different content must MISS the memo (no stale answers): filters
+    # built from a shifted key set — its build keys hit, the old ones
+    # need not all hit
+    build2 = spark.range(10_000, 12_000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.col("id").cast("string").alias("content"))
+    bk2 = with_content_key_bin(build2, "content").select("g", "key")
+    filters2 = build_filters(bk2, ["g"], ndv=1_000, fpp=0.01)
+    filters2.cache().count()
+    probe2 = spark.range(10_000, 13_000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.col("id").cast("string").alias("content"))
+    pk2 = with_content_key_bin(probe2, "content") \
+        .select("g", "key", "content")
+    got2 = {(r["g"], r["content"]): r["maybe_seen"]
+            for r in probe_with_filters(pk2, filters2, ["g"]).collect()}
+    for i in range(10_000, 12_000):
+        assert got2[(str(i % 4), str(i))]  # zero FN on the NEW build
+    filters.unpersist()
+    filters2.unpersist()
