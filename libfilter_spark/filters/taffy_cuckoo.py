@@ -34,7 +34,8 @@ import numpy as np
 
 from ..kernels.feistel import (PcgRandom, feistel_backward,
                                feistel_backward_batch, feistel_forward,
-                               feistel_forward_batch, is_prefix_of,
+                               feistel_forward_batch,
+                               feistel_forward_batch_lean, is_prefix_of,
                                is_prefix_of_batch)
 
 HEAD = 10            # fingerprint bits (taffy-cuckoo.h:42)
@@ -43,6 +44,8 @@ LOG_SLOTS = 2
 SLOTS = 1 << LOG_SLOTS
 FP_MASK = (1 << HEAD) - 1
 TAIL_MASK = (1 << (TAIL + 1)) - 1
+# probe block size: 128k lanes × 8 B ≈ 1 MiB per temporary — L2-resident
+_PROBE_BLOCK = 131072
 
 # default entropy table (taffy-cuckoo.c:100-102)
 ENTROPY = (0x2BA7538EE1234073, 0xFCC3777539B147D6,
@@ -453,44 +456,73 @@ class TaffyCuckooFilter:
 
     def find_hashes(self, hashes: np.ndarray) -> np.ndarray:
         """Vectorized two-side probe (semantics of taffy-cuckoo.h:204-223
-        and 297-311 over a whole batch)."""
+        and 297-311 over a whole batch). Blocked at 128k lanes so the
+        ~10 full-array temporaries stay L2-resident; keys found on
+        side 0 are compressed out of side 1's input (a stored path
+        lives in one side's bucket, the C find short-circuits per key
+        — present keys pay ~1.5 side probes instead of 2)."""
         n = len(hashes)
         if n == 0:
             return np.zeros(0, dtype=bool)
         h = hashes.astype(np.uint64, copy=False)
-        log = self.log_side_size
+        if n > _PROBE_BLOCK:
+            out = np.empty(n, dtype=bool)
+            for i in range(0, n, _PROBE_BLOCK):
+                out[i:i + _PROBE_BLOCK] = \
+                    self._find_hashes_block(h[i:i + _PROBE_BLOCK])
+            return out
+        return self._find_hashes_block(h)
+
+    def _find_hashes_block(self, h: np.ndarray) -> np.ndarray:
+        n = len(h)
         out = np.zeros(n, dtype=bool)
-        pre_shift = np.uint64(64 - log - HEAD)
-        tail_shift = np.uint64(64 - log - HEAD - TAIL)
-        ptail = ((h >> tail_shift) & np.uint64((1 << TAIL) - 1)) \
-            .astype(np.int64) * 2 + 1
-        ptail16 = ptail.astype(np.uint16)
-        for s in range(2):
-            side = self.sides[s]
-            hashed = feistel_forward_batch(side.keys, log + HEAD,
-                                           h >> pre_shift)
-            bucket = (hashed >> np.uint64(HEAD)).astype(np.int64)
-            fp16 = (hashed & np.uint64(FP_MASK)).astype(np.uint16)
-            slots = side.data[bucket]                       # (n, SLOTS) u16
-            stail = slots >> np.uint16(HEAD)
-            cand = (stail != 0) & \
-                ((slots & np.uint16(FP_MASK)) == fp16[:, None])
-            # fingerprint matches are ~n*SLOTS/2^HEAD — evaluate the
-            # tail-prefix test sparsely instead of on the full matrix
-            rows, cols = np.nonzero(cand)
-            if len(rows):
-                pref = is_prefix_of_batch(stail[rows, cols], ptail16[rows])
-                out[rows[pref]] = True
-            for (sb, sf, st) in side.stash:
-                if st == 0:
-                    continue
-                hit = (bucket == sb) & (fp16 == sf)
-                idx = np.flatnonzero(hit)
-                if len(idx):
-                    pref = is_prefix_of_batch(
-                        np.full(len(idx), st, dtype=np.int64), ptail[idx])
-                    out[idx[pref]] = True
+        found = self._probe_side(self.sides[0], h)
+        idx = None
+        if found.any():
+            out[found] = True
+            idx = np.flatnonzero(~found)
+            if not len(idx):
+                return out
+            h = h[idx]
+        found = self._probe_side(self.sides[1], h)
+        out[found if idx is None else idx[found]] = True
         return out
+
+    def _probe_side(self, side: "_Side", h: np.ndarray) -> np.ndarray:
+        log = self.log_side_size
+        hashed = feistel_forward_batch_lean(
+            side.keys, log + HEAD, h >> np.uint64(64 - log - HEAD))
+        bucket = hashed >> np.uint64(HEAD)
+        fp16 = (hashed & np.uint64(FP_MASK)).astype(np.uint16)
+        slots = side.data[bucket]                       # (n, SLOTS) u16
+        # occupied ⇔ the slot's u16 image exceeds its HEAD low bits
+        cand = (slots & np.uint16(FP_MASK)) == fp16[:, None]
+        cand &= slots > np.uint16(FP_MASK)
+        found = np.zeros(len(h), dtype=bool)
+        tail_shift = np.uint64(64 - log - HEAD - TAIL)
+        tmask = np.uint64((1 << TAIL) - 1)
+
+        def ptail_at(ri):             # lazy tail, matched lanes only
+            return (((h[ri] >> tail_shift) & tmask)
+                    .astype(np.int64) << 1) | 1
+
+        # fingerprint matches are ~n*SLOTS/2^HEAD — evaluate the
+        # tail-prefix test sparsely instead of on the full matrix
+        rows, cols = np.nonzero(cand)
+        if len(rows):
+            pref = is_prefix_of_batch(slots[rows, cols] >> np.uint16(HEAD),
+                                      ptail_at(rows))
+            found[rows[pref]] = True
+        for (sb, sf, st) in side.stash:
+            if st == 0:
+                continue
+            hit = (bucket == np.uint64(sb)) & (fp16 == np.uint16(sf))
+            idx = np.flatnonzero(hit)
+            if len(idx):
+                pref = is_prefix_of_batch(
+                    np.full(len(idx), st, dtype=np.int64), ptail_at(idx))
+                found[idx[pref]] = True
+        return found
 
     # --- union (the UDAF merge; taffy-cuckoo.c:260-348) --------------------
     def union(self, other: "TaffyCuckooFilter") -> "TaffyCuckooFilter":
@@ -760,7 +792,7 @@ class FrozenTaffyCuckooFilter:
                  (self.entropy[6], self.entropy[7]))]
         y = h >> np.uint64(64 - log - HEAD)
         for i in range(2):
-            permuted = feistel_forward_batch(keys[i], log + HEAD, y)
+            permuted = feistel_forward_batch_lean(keys[i], log + HEAD, y)
             bucket = (permuted >> np.uint64(HEAD)).astype(np.int64)
             fp = permuted & np.uint64(FP_MASK)
             z = self.data[i][bucket]

@@ -80,6 +80,35 @@ def feistel_forward_batch(keys: tuple, w: int, x: np.ndarray) -> np.ndarray:
     return (r2 << np.uint64(s)) | l2
 
 
+def feistel_forward_batch_lean(keys: tuple, w: int,
+                               x: np.ndarray) -> np.ndarray:
+    """:func:`feistel_forward_batch` for callers that GUARANTEE ``x``
+    has exactly ``w`` significant bits (e.g. ``h >> (64 - w)``): the
+    half-word input masks become no-ops by width and are dropped, and
+    every round op runs in place — about half the memory traffic of
+    the generic kernel.  Identical output to the generic kernel on
+    in-contract input (pinned by tests)."""
+    u = np.uint64
+    s = w >> 1
+    t = w - s
+    mst = (1 << (s + t)) - 1
+    l0 = x & u((1 << s) - 1)
+    r0 = x >> u(s)                       # t bits — mask-free by width
+    r1 = r0 * u(keys[0][0] & mst)
+    r1 += u(keys[0][1] & mst)
+    r1 >>= u(t)
+    r1 &= u((1 << s) - 1)
+    r1 ^= l0                             # s bits
+    out = r1 * u(keys[1][0] & mst)
+    out += u(keys[1][1] & mst)
+    out >>= u(s)
+    out &= u((1 << t) - 1)
+    out ^= r0                            # r2 = l1 ^ sub, l1 = r0
+    out <<= u(s)
+    out |= r1                            # (r2 << s) | l2, l2 = r1
+    return out
+
+
 def feistel_backward_batch(keys: tuple, w: int, x: np.ndarray) -> np.ndarray:
     s = w >> 1
     t = w - s
