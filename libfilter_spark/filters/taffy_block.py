@@ -106,10 +106,26 @@ class TaffyBlockFilter:
         return bool(self.find_hashes(np.array([hash_], dtype=np.uint64))[0])
 
     def find_hashes(self, hashes: np.ndarray) -> np.ndarray:
-        """Probe every level; OR of results (``taffy-block.h:42-48``)."""
-        out = np.zeros(len(hashes), dtype=bool)
-        for lvl in self.levels:
-            np.logical_or(out, K.find_hashes(lvl, hashes), out=out)
+        """Probe levels newest-first with found keys compressed out of
+        the remaining levels' input — the batch analogue of the C
+        find's per-key level short-circuit (``taffy-block.h:42-48``).
+        Newest-first because each level holds the keys of one doubling
+        epoch, so the last level holds ~half of all present keys:
+        present keys average ~2 level probes regardless of level
+        count; absent keys still scan every level, as in C."""
+        n = len(hashes)
+        out = np.zeros(n, dtype=bool)
+        idx = None              # None ⇒ every lane still pending
+        hs = hashes
+        for lvl in reversed(self.levels):
+            found = K.find_hashes(lvl, hs)
+            if found.any():
+                out[found if idx is None else idx[found]] = True
+                keep = ~found
+                idx = np.flatnonzero(keep) if idx is None else idx[keep]
+                hs = hs[keep]
+                if not len(hs):
+                    break
         return out
 
     # --- Java-interop 32-bit entries (TaffyBlockFilter.java:121-134):
