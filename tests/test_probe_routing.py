@@ -813,3 +813,26 @@ def test_grouped_probe_content_cache_skips_recollect(spark,
         assert got2[(str(i % 4), str(i))]  # zero FN on the NEW build
     filters.unpersist()
     filters2.unpersist()
+
+
+def test_grouped_partials_build_keeps_null_group(spark):
+    """Round 6: the vectorized partial-builder segmentation
+    (pd.factorize) keeps null group values as a real group — the old
+    pandas-groupby loop silently DROPPED them (dropna default), which
+    disagreed with both Spark groupBy semantics and the JVM engine.
+    Partial merging must survive null group columns; the PROBE keeps
+    the repo's SQL semantics — null never equals null, so null-group
+    rows stay non-members (test_grouped_probe_int_group_with_nulls)."""
+    base = spark.range(6_000).select(
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise((F.col("id") % 3).cast("string")).alias("g"),
+        F.col("id").cast("string").alias("content"))
+    keys = with_content_key_bin(base, "content").select("g", "key")
+    filters = build_filters(keys, ["g"], ndv=4_000, fpp=0.01,
+                            strategy="partials")
+    rows = {r["g"]: r["n_keys"] for r in filters.collect()}
+    assert None in rows and len(rows) == 3
+    assert rows[None] == 2_000
+    probed = probe_with_filters(keys, filters, ["g"])
+    n_true = probed.where("maybe_seen").count()
+    assert n_true == 4_000  # zero FN on non-null groups; null rows False
