@@ -33,8 +33,8 @@ import struct
 import numpy as np
 
 from ..kernels.feistel import (PcgRandom, feistel_backward,
-                               feistel_backward_batch, feistel_forward,
-                               feistel_forward_batch,
+                               feistel_backward_batch_lean,
+                               feistel_forward,
                                feistel_forward_batch_lean, is_prefix_of,
                                is_prefix_of_batch)
 
@@ -252,7 +252,7 @@ class TaffyCuckooFilter:
         ptail = ((h >> tail_shift) & np.uint64((1 << TAIL) - 1)) * \
             np.uint64(2) + np.uint64(1)
         side0 = self.sides[0]
-        hashed = feistel_forward_batch(side0.keys, log + HEAD,
+        hashed = feistel_forward_batch_lean(side0.keys, log + HEAD,
                                        h >> pre_shift)
         bucket = (hashed >> np.uint64(HEAD)).astype(np.int64)
         fp = (hashed & np.uint64(FP_MASK)).astype(np.int64)
@@ -284,8 +284,8 @@ class TaffyCuckooFilter:
             w = log + HEAD
             hashed0 = (bucket[left].astype(np.uint64) << np.uint64(HEAD)) \
                 | fp[left].astype(np.uint64)
-            pre = feistel_backward_batch(self.sides[0].keys, w, hashed0)
-            hashed1 = feistel_forward_batch(self.sides[1].keys, w, pre)
+            pre = feistel_backward_batch_lean(self.sides[0].keys, w, hashed0)
+            hashed1 = feistel_forward_batch_lean(self.sides[1].keys, w, pre)
             b1 = (hashed1 >> np.uint64(HEAD)).astype(np.int64)
             f1 = (hashed1 & np.uint64(FP_MASK)).astype(np.int64)
             t1 = tail[left]
@@ -300,7 +300,7 @@ class TaffyCuckooFilter:
         (The upsize/union re-path primitives carry tails that differ
         from what to_path would derive, hence the override.)"""
         log = self.log_side_size
-        hashed = feistel_forward_batch(self.sides[0].keys, log + HEAD,
+        hashed = feistel_forward_batch_lean(self.sides[0].keys, log + HEAD,
                                        raws >> np.uint64(64 - log - HEAD))
         bucket = (hashed >> np.uint64(HEAD)).astype(np.int64)
         fp = (hashed & np.uint64(FP_MASK)).astype(np.int64)
@@ -311,8 +311,8 @@ class TaffyCuckooFilter:
             w = log + HEAD
             hashed0 = (bucket[left].astype(np.uint64) << np.uint64(HEAD)) \
                 | fp[left].astype(np.uint64)
-            pre = feistel_backward_batch(self.sides[0].keys, w, hashed0)
-            hashed1 = feistel_forward_batch(self.sides[1].keys, w, pre)
+            pre = feistel_backward_batch_lean(self.sides[0].keys, w, hashed0)
+            hashed1 = feistel_forward_batch_lean(self.sides[1].keys, w, pre)
             b1 = (hashed1 >> np.uint64(HEAD)).astype(np.int64)
             f1 = (hashed1 & np.uint64(FP_MASK)).astype(np.int64)
             t1 = tail[left]
@@ -346,7 +346,7 @@ class TaffyCuckooFilter:
             if len(bks) == 0:
                 continue
             hashed = (bks << np.uint64(HEAD)) | fps
-            pre = feistel_backward_batch(side.keys, log + HEAD, hashed)
+            pre = feistel_backward_batch_lean(side.keys, log + HEAD, hashed)
             raw = pre << np.uint64(64 - log - HEAD)
             fork = tls == (1 << TAIL)
             nf = ~fork
@@ -569,7 +569,7 @@ class TaffyCuckooFilter:
             if len(bks) == 0:
                 continue
             hashed = (bks << np.uint64(HEAD)) | fps
-            pre = feistel_backward_batch(sd.keys, tlog + HEAD, hashed)
+            pre = feistel_backward_batch_lean(sd.keys, tlog + HEAD, hashed)
             raw = pre << np.uint64(64 - tlog - HEAD)
             if diff == 0:
                 self._insert_raws(raw, tls)

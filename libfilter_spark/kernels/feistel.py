@@ -121,6 +121,30 @@ def feistel_backward_batch(keys: tuple, w: int, x: np.ndarray) -> np.ndarray:
     return (r0 << np.uint64(s)) | l0
 
 
+def feistel_backward_batch_lean(keys: tuple, w: int,
+                                x: np.ndarray) -> np.ndarray:
+    """:func:`feistel_backward_batch` under the same exactly-``w``-bits
+    input contract as the lean forward kernel: defensive masks dropped,
+    round ops in place. Identical output on in-contract input."""
+    u = np.uint64
+    s = w >> 1
+    t = w - s
+    mst = (1 << (s + t)) - 1
+    l2 = x & u((1 << s) - 1)
+    r2 = x >> u(s)                       # t bits — mask-free by width
+    l1 = l2 * u(keys[1][0] & mst)        # _subhash(s,t,s, r1=l2)
+    l1 += u(keys[1][1] & mst)
+    l1 >>= u(s)
+    l1 &= u((1 << t) - 1)
+    l1 ^= r2                             # r0
+    l0 = l1 * u(keys[0][0] & mst)        # _subhash(s,t,t, r0=l1)
+    l0 += u(keys[0][1] & mst)
+    l0 >>= u(t)
+    l0 &= u((1 << s) - 1)
+    l0 ^= l2                             # l0 = r1 ^ sub, r1 = l2
+    return (l1 << u(s)) | l0
+
+
 # --- PCG32 (util.h:108-153) — deterministic kick-victim selection ----------
 
 class PcgRandom:
