@@ -38,8 +38,9 @@ import struct
 import numpy as np
 
 from ..kernels.feistel import (PcgRandom, feistel_backward,
-                               feistel_backward_batch, feistel_forward,
-                               feistel_forward_batch, is_prefix_of,
+                               feistel_backward_batch_lean,
+                               feistel_forward,
+                               feistel_forward_batch_lean, is_prefix_of,
                                is_prefix_of_batch)
 
 LOG_LEVELS = 5
@@ -179,7 +180,7 @@ def _to_path_batch(h: np.ndarray, keys: tuple, cursor: int, low: int,
     raw_tail = (pre_all & np.uint64((1 << TAIL) - 1)).astype(np.int64)
     pre = pre_all >> np.uint64(TAIL)
     w = LOG_LEVELS + low + HEAD - fis
-    hashed = feistel_forward_batch(keys, w, pre)
+    hashed = feistel_forward_batch_lean(keys, w, pre)
     level = (hashed >> np.uint64(low + HEAD - fis)).astype(np.int64)
     big = level < cursor
     bi = big.astype(np.int64)
@@ -255,8 +256,8 @@ def _from_path_batch(level: np.ndarray, bucket: np.ndarray, fp: np.ndarray,
     hashed = ((((level.astype(np.uint64) << np.uint64(level_size))
                 | bucket.astype(np.uint64)) << np.uint64(fp_size))
               | fp.astype(np.uint64))
-    pre = feistel_backward_batch(keys, LOG_LEVELS + level_size + fp_size,
-                                 hashed)
+    pre = feistel_backward_batch_lean(
+        keys, LOG_LEVELS + level_size + fp_size, hashed)
     return pre << np.uint64(64 - LOG_LEVELS - level_size - fp_size)
 
 
