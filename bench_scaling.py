@@ -192,7 +192,12 @@ def run_at(cpus: int, n: int) -> dict:
          str(n)],
         capture_output=True, text=True, timeout=3000, cwd=repo)
     if out.returncode != 0:
-        raise RuntimeError(out.stderr[-2000:])
+        # surface the PYTHON worker traceback, not just the tail of
+        # the JVM stack that wraps it
+        err = out.stderr
+        mark = err.rfind("Traceback (most recent call last)")
+        raise RuntimeError(err[mark:mark + 4000] if mark >= 0
+                           else err[-4000:])
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

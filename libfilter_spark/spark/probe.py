@@ -294,6 +294,139 @@ class _TbfForestProbe:
         return (g == m64).all(axis=1)
 
 
+class _TbfForestMultiProbe:
+    """Assembled probe view of a GROWN (multi-level) taffy_block
+    forest. Every shard of a forest is created with the same
+    (per-shard ndv, fpp), so level ``i``'s bucket count is a function
+    of the level index alone (the 6/π² sizing schedule,
+    ``taffy-block.h:56-66``) — shards differ only in how many levels
+    they have grown. Level ``i`` of every shard that has it therefore
+    concatenates into ONE (R_i, 4) u64 matrix with a per-shard row
+    OFFSET table (−1 ⇒ the shard has not grown that level / is absent
+    from the frame). A batch probes the level matrices NEWEST-first
+    with found lanes compressed out — the forest-wide analogue of
+    ``TaffyBlockFilter.find_hashes``'s per-key level short-circuit
+    (``taffy-block.h:42-48``): present keys average ~2 vectorized
+    gathers total, absent keys L — instead of the grouped route's
+    S·L tiny per-shard kernel calls per batch (the measured 100M-key
+    growth-sweep gap: 3.5 Mk/s grouped vs 14 Mk/s for the same-shape
+    assembled block probe). Lane masks are computed ONCE per batch and
+    compressed along with the keys (they depend only on the key)."""
+
+    def __init__(self, n_shards: int, nbs: list[int],
+                 offsets: "np.ndarray", mats: list):
+        self.n_shards = n_shards
+        self.nbs = nbs            # bucket count of absolute level i
+        self.offsets = offsets    # (L, S) int64 row offsets, -1 missing
+        self.mats = mats          # list of (R_i, 4) u64 matrices
+
+    @classmethod
+    def assemble(cls, n_shards: int, shard_blobs: dict[int, bytes]):
+        """→ _TbfForestMultiProbe, or None when any absolute level
+        index has two bucket counts across shards (foreign shards —
+        cannot happen for one forest's shared creation params)."""
+        from ..filters.taffy_block import TaffyBlockFilter
+        from ..kernels import block as K
+        per: dict[int, list] = {}
+        n_levels = 0
+        for s, blob in shard_blobs.items():
+            f = TaffyBlockFilter.deserialize_view(
+                np.frombuffer(blob, dtype=np.uint8))
+            per[s] = f.levels
+            n_levels = max(n_levels, len(f.levels))
+        if not n_levels:
+            return None
+        nbs: list[int | None] = [None] * n_levels
+        for levels in per.values():
+            for i, lvl in enumerate(levels):
+                nb = lvl.size // K.WORDS_PER_BUCKET
+                if nbs[i] is None:
+                    nbs[i] = nb
+                elif nbs[i] != nb:
+                    return None
+        offsets = np.full((n_levels, n_shards), -1, dtype=np.int64)
+        mats = []
+        for i in range(n_levels):
+            have = sorted(s for s, lv in per.items() if len(lv) > i)
+            span = nbs[i] * K.WORDS_PER_BUCKET
+            m = np.zeros(len(have) * span, dtype=np.uint32)
+            for j, s in enumerate(have):
+                m[j * span:(j + 1) * span] = per[s][i]
+                offsets[i, s] = j * nbs[i]
+            mats.append(m.view(np.uint64).reshape(-1, 4))
+        return cls(n_shards, nbs, offsets, mats)
+
+    def to_raw(self) -> "np.ndarray":
+        """Flat u64 image for the /dev/shm publisher: [L, S, nb×L,
+        rows×L, offsets (L·S), level matrices]."""
+        head = np.array([len(self.mats), self.n_shards, *self.nbs,
+                         *[m.shape[0] for m in self.mats]],
+                        dtype=np.uint64)
+        return np.concatenate(
+            [head, self.offsets.ravel().view(np.uint64)]
+            + [m.ravel() for m in self.mats])
+
+    @classmethod
+    def from_raw(cls, n_shards: int, raw: "np.ndarray"):
+        """Inverse of to_raw; None on any size mismatch (truncated or
+        foreign file ⇒ caller assembles privately)."""
+        if raw.size < 2:
+            return None
+        n_levels, s = int(raw[0]), int(raw[1])
+        if s != n_shards or not 1 <= n_levels <= 64:
+            return None
+        head = 2 + 2 * n_levels
+        if raw.size < head + n_levels * n_shards:
+            return None
+        nbs = [int(x) for x in raw[2:2 + n_levels]]
+        rows = [int(x) for x in raw[2 + n_levels:head]]
+        if raw.size != head + n_levels * n_shards + 4 * sum(rows):
+            return None
+        off = np.asarray(
+            raw[head:head + n_levels * n_shards]).view(np.int64) \
+            .reshape(n_levels, n_shards)
+        mats = []
+        pos = head + n_levels * n_shards
+        for r in rows:
+            mats.append(raw[pos:pos + 4 * r].reshape(-1, 4))
+            pos += 4 * r
+        return cls(n_shards, nbs, off, mats)
+
+    def find(self, keys: "np.ndarray", binary: bool) -> "np.ndarray":
+        from ..kernels import block as K
+        from ..kernels.keys import shard_of_keys
+        n = len(keys)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        out = np.zeros(n, dtype=bool)
+        sh = shard_of_keys(keys, self.n_shards, binary=binary)
+        hs = keys.astype(np.uint64, copy=False)
+        m64 = np.ascontiguousarray(K.make_masks(hs)).view(np.uint64)
+        idx = None                # None ⇒ every lane still pending
+        for i in reversed(range(len(self.mats))):
+            off = self.offsets[i][sh]
+            vpos = np.flatnonzero(off >= 0)
+            if vpos.size == 0:
+                continue
+            vk = hs[vpos]
+            bi = K.bucket_index(vk, self.nbs[i]).astype(np.int64) \
+                + off[vpos]
+            g = self.mats[i][bi]
+            vm = m64[vpos]
+            np.bitwise_and(g, vm, out=g)
+            found = (g == vm).all(axis=1)
+            if found.any():
+                hit = vpos[found]
+                out[hit if idx is None else idx[hit]] = True
+                keep = np.ones(len(hs), dtype=bool)
+                keep[hit] = False
+                idx = np.flatnonzero(keep) if idx is None else idx[keep]
+                hs, sh, m64 = hs[keep], sh[keep], m64[keep]
+                if not len(hs):
+                    break
+        return out
+
+
 class _FrozenTcfForestProbe:
     """Assembled probe view of a FROZEN taffy-cuckoo forest (the
     read-only serving shape, ``taffy-cuckoo.h:236-273``). Frozen
@@ -457,6 +590,25 @@ def _tbf_level0_uniform(shard_blobs: dict[int, bytes]) -> bool:
     return nb is not None
 
 
+def _tbf_forest_uniform(shard_blobs: dict[int, bytes]) -> bool:
+    """Driver-side eligibility for the assembled MULTI-level forest
+    probe: every absolute level index has one bucket count across all
+    shards (zero-copy header reads). Always true for one forest's
+    shards — the level schedule is a function of the shared creation
+    params — so this only rejects frames mixing foreign filters."""
+    from ..filters.taffy_block import TaffyBlockFilter
+    sizes: dict[int, int] = {}
+    seen = False
+    for blob in shard_blobs.values():
+        f = TaffyBlockFilter.deserialize_view(
+            np.frombuffer(blob, dtype=np.uint8))
+        for i, lvl in enumerate(f.levels):
+            seen = True
+            if sizes.setdefault(i, lvl.size) != lvl.size:
+                return False
+    return seen
+
+
 def _content_token(filter_map: dict) -> str:
     """Stable executor-cache key for a collected filter map: digest of
     every (group, family, blob bytes). blake2b keeps the driver-side
@@ -577,6 +729,11 @@ def _attach_assembled(asm_meta: dict):
                 return None  # truncated/foreign file: assemble privately
             state = np.array(mm) if _SHM_ASM_COPY else mm
             return _TbfForestProbe(n_sh, nb, state)
+        if asm_meta["kind"] == "tbf_forest_set":
+            mm = np.memmap(path, dtype=np.uint64, mode="r")
+            arr = np.array(mm) if _SHM_ASM_COPY else mm
+            return _TbfForestMultiProbe.from_raw(
+                int(asm_meta["n_shards"]), arr)
         if asm_meta["kind"] == "frozen_tcf_set":
             mm = np.memmap(path, dtype=np.uint64, mode="r")
             arr = np.array(mm) if _SHM_ASM_COPY else mm
@@ -706,6 +863,11 @@ def _asm_build_from_map(filter_map: dict):
         pv = _TbfForestProbe.assemble(n_sh, shard_blobs)
         assert pv is not None  # driver checked eligibility
         return pv, pv.b64
+    if fam == "tbf_forest_set":
+        n_sh, shard_blobs = blob
+        pv = _TbfForestMultiProbe.assemble(n_sh, shard_blobs)
+        assert pv is not None  # driver checked eligibility
+        return pv, pv.to_raw()
     if fam == "frozen_tcf_set":
         n_sh, shard_blobs = blob
         pv = _FrozenTcfForestProbe.assemble(n_sh, shard_blobs)
@@ -755,6 +917,14 @@ def _materialize(bc, asm_meta: dict | None = None) -> dict:
                 # publish path above handled the asm_meta case
                 n_sh, shard_blobs = blob
                 cached[g] = _TbfForestProbe.assemble(n_sh, shard_blobs)
+                assert cached[g] is not None  # driver checked eligibility
+                continue
+            if fam == "tbf_forest_set":
+                # grown multi-level TBF forest: per-level concatenated
+                # matrices (see _TbfForestMultiProbe)
+                n_sh, shard_blobs = blob
+                cached[g] = _TbfForestMultiProbe.assemble(n_sh,
+                                                          shard_blobs)
                 assert cached[g] is not None  # driver checked eligibility
                 continue
             if fam == "frozen_tcf_set":
@@ -908,8 +1078,11 @@ def _probe_shard_frame(df: DataFrame, filters_df: DataFrame,
       into ONE probe object per worker (plain global probe — measured
       ~1.5× over the grouped route for slices, ~3× for TBF forests:
       no JVM shard column, no per-batch pandas groupby);
-    - other forests probe through the grouped route on a JVM-derived
-      shard column;
+    - GROWN multi-level TBF forests and uniform frozen-TCF forests
+      assemble per-level/per-side concatenated matrices (see
+      _TbfForestMultiProbe / _FrozenTcfForestProbe);
+    - live cuckoo forests probe through the grouped route on a
+      JVM-derived shard column;
     - over-budget frames (or via='shuffle') keep blobs off the driver
       entirely via the cogroup route.
 
@@ -994,6 +1167,12 @@ def _probe_shard_frame(df: DataFrame, filters_df: DataFrame,
             collected = {(): ("tbf_level0_set",
                               (int(p["n_shards"]), shard_blobs))}
             mode, kind = "global", "tbf_level0_set"
+        elif _tbf_forest_uniform(shard_blobs):
+            # grown multi-level forest: per-level concatenated
+            # matrices, newest-first probe with found-lane compression
+            collected = {(): ("tbf_forest_set",
+                              (int(p["n_shards"]), shard_blobs))}
+            mode, kind = "global", "tbf_forest_set"
     elif all(r["family"] == "frozen_taffy_cuckoo" for r in rows):
         # uniform frozen-TCF forest (the read-only serving shape):
         # concatenated SWAR matrices, shared Feistel keys — one
@@ -1102,7 +1281,8 @@ def _broadcast_probe_udf(df: DataFrame, bc, group_cols: list[str],
         if f is None:
             return pa.array(np.zeros(len(keys), dtype=bool))
         k, valid = keys_and_valid_from_arrow(keys)
-        if isinstance(f, (_TbfForestProbe, _FrozenTcfForestProbe)):
+        if isinstance(f, (_TbfForestProbe, _TbfForestMultiProbe,
+                          _FrozenTcfForestProbe)):
             # the assembled forest routes by the xxhash64 replica,
             # which hashes binary and int64 key columns differently —
             # the Arrow type is the authority

@@ -140,17 +140,78 @@ def test_assembled_tbf_forest_probe_matches_grouped(spark):
             _collected=grouped_collected).where("maybe_seen").count()
         assert via_fast == via_grouped
         forest.unpersist()
-    # multi-level (grown) forest: not eligible, grouped fallback
+    # multi-level (grown) forest: takes the MULTI-level assembled
+    # path (round-6) — zero FN end-to-end, and absent answers equal
+    # the grouped route bit-for-bit
     keys = with_content_key_bin(df, "content").select("key")
+    akeys = with_content_key_bin(absent, "content").select("key")
     grown = build_filter_forest(keys, "key", "taffy_block",
                                 ndv=8 * 64, fpp=0.01, n_shards=8,
                                 engine="arrow").cache()
     gb = {int(r["__shard"]): bytes(r["filter"])
           for r in grown.collect()}
     assert not P._tbf_level0_uniform(gb)
+    assert P._tbf_forest_uniform(gb)
     assert probe_with_forest(keys, grown, "key") \
         .where("maybe_seen").count() == n
+    from libfilter_spark.spark.forest import SHARD_COL, with_shard
+    via_fast = probe_with_forest(akeys, grown, "key") \
+        .where("maybe_seen").count()
+    grouped_collected = {(s,): ("taffy_block", b) for s, b in gb.items()}
+    routed = with_shard(akeys, "key", 8)
+    via_grouped = P.probe_with_filters(
+        routed, grown, [SHARD_COL], "key",
+        _collected=grouped_collected).where("maybe_seen").count()
+    assert via_fast == via_grouped
     grown.unpersist()
+
+
+def test_assembled_tbf_multilevel_probe_unit():
+    """The multi-level assembled TBF forest probe (round-6): bit
+    parity with per-shard find_hashes on RAGGED level counts, raw
+    round-trip for the shm publisher, truncated/foreign rejection,
+    and missing-shard False parity."""
+    import numpy as np
+
+    import libfilter_spark.spark.probe as P
+    from libfilter_spark.filters.taffy_block import TaffyBlockFilter
+    from libfilter_spark.kernels.keys import shard_of_keys, splitmix64
+
+    S = 8
+    all_keys = splitmix64(30_000, seed=123)
+    sh = shard_of_keys(all_keys, S, binary=False)
+    blobs, filters = {}, {}
+    for s in range(S):
+        ks = all_keys[sh == s]
+        if s == 3:  # ragged growth: one shard several levels deeper
+            extra = splitmix64(200_000, seed=999)
+            ks = np.concatenate(
+                [ks, extra[shard_of_keys(extra, S, binary=False) == 3]])
+        f = TaffyBlockFilter.create(64, 0.01)
+        f.add_hashes(ks)
+        filters[s], blobs[s] = f, f.serialize()
+    assert len(filters[3].levels) > len(filters[0].levels)  # ragged
+    assert P._tbf_forest_uniform(blobs)
+    pv = P._TbfForestMultiProbe.assemble(S, blobs)
+    assert pv.find(all_keys, binary=False).all()  # zero FN
+    absent = splitmix64(50_000, seed=456)
+    mixed = np.concatenate([all_keys[:5000], absent])
+    msh = shard_of_keys(mixed, S, binary=False)
+    expect = np.zeros(len(mixed), dtype=bool)
+    for s in range(S):
+        m = msh == s
+        expect[m] = filters[s].find_hashes(mixed[m])
+    assert (pv.find(mixed, binary=False) == expect).all()
+    raw = pv.to_raw()
+    pv2 = P._TbfForestMultiProbe.from_raw(S, raw)
+    assert (pv2.find(mixed, binary=False) == expect).all()
+    assert P._TbfForestMultiProbe.from_raw(S, raw[:-5]) is None
+    assert P._TbfForestMultiProbe.from_raw(S + 1, raw) is None
+    del blobs[5]  # missing shard ⇒ its keys report False
+    pv3 = P._TbfForestMultiProbe.assemble(S, blobs)
+    exp3 = expect.copy()
+    exp3[msh == 5] = False
+    assert (pv3.find(mixed, binary=False) == exp3).all()
 
 
 def test_frozen_tcf_forest(spark):
