@@ -364,6 +364,67 @@ def main() -> None:
                 b_grp * 1e9 / n_forest)
     fkeys.unpersist()
 
+    # --- grown multi-level TBF forest (round-6): the assembled
+    # per-level-matrix probe vs the grouped argsort-segmentation
+    # route, kernel-level and Spark-free, half present / half absent
+    # keys (the semi-join traffic mix) ---------------------------------
+    def _tbf_grown_ab(extras, cpus_i):
+        import numpy as _np
+        from libfilter_spark.filters.taffy_block import TaffyBlockFilter
+        from libfilter_spark.kernels.keys import (shard_of_keys,
+                                                  splitmix64)
+        from libfilter_spark.spark.probe import _TbfForestMultiProbe
+        n = 2_000_000
+        n_sh = 2 * cpus_i
+        present = splitmix64(n, seed=23)
+        shv = shard_of_keys(present, n_sh, binary=False)
+        per, blobs = {}, {}
+        for s in range(n_sh):
+            f = TaffyBlockFilter.create(64, 0.004)  # grown from tiny
+            f.add_hashes(present[shv == s])
+            per[s], blobs[s] = f, f.serialize()
+        pv = _TbfForestMultiProbe.assemble(n_sh, blobs)
+        assert pv is not None and len(per[0].levels) > 1
+        mixed = _np.concatenate([present[:n // 2],
+                                 splitmix64(n // 2, seed=29)])
+        msh = shard_of_keys(mixed, n_sh, binary=False)
+        batch = 65536
+        b_asm = b_grp = float("inf")
+        n_found = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            got = 0
+            for off in range(0, n, batch):
+                got += int(pv.find(mixed[off:off + batch],
+                                   binary=False).sum())
+            b_asm = min(b_asm, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            grp = 0
+            for off in range(0, n, batch):
+                k = mixed[off:off + batch]
+                g = msh[off:off + batch]
+                order = _np.argsort(g, kind="stable")
+                gs = g[order]
+                bnds = _np.flatnonzero(
+                    _np.r_[True, gs[1:] != gs[:-1]]).tolist()
+                bnds.append(len(gs))
+                out = _np.zeros(len(k), dtype=bool)
+                for b, e in zip(bnds, bnds[1:]):
+                    idx = order[b:e]
+                    out[idx] = per[int(gs[b])].find_hashes(k[idx])
+                grp += int(out.sum())
+            b_grp = min(b_grp, time.perf_counter() - t0)
+            assert got == grp  # identical answers both routes
+            n_found = got
+        assert n_found >= n // 2  # zero FN on the present half
+        extras["tbf_grown_forest_levels"] = len(per[0].levels)
+        extras["tbf_grown_forest_asm_probe_ns_per_key"] = round(
+            b_asm * 1e9 / n)
+        extras["tbf_grown_forest_grouped_probe_ns_per_key"] = round(
+            b_grp * 1e9 / n)
+
+    _tbf_grown_ab(extras, cpus_i)
+
     # surface the latest north-rule scaling matrix (bench_scaling.py
     # writes BENCH/scaling.json) so the per-round BENCH record carries
     # the two-parallelism-level evidence

@@ -319,6 +319,10 @@ class _TbfForestMultiProbe:
         self.nbs = nbs            # bucket count of absolute level i
         self.offsets = offsets    # (L, S) int64 row offsets, -1 missing
         self.mats = mats          # list of (R_i, 4) u64 matrices
+        # levels every shard has (all but the newest in a ragged
+        # forest): probed without per-lane validity indexing
+        self.full = [bool((offsets[i] >= 0).all())
+                     for i in range(len(mats))]
 
     @classmethod
     def assemble(cls, n_shards: int, shard_blobs: dict[int, bytes]):
@@ -405,18 +409,23 @@ class _TbfForestMultiProbe:
         idx = None                # None ⇒ every lane still pending
         for i in reversed(range(len(self.mats))):
             off = self.offsets[i][sh]
-            vpos = np.flatnonzero(off >= 0)
-            if vpos.size == 0:
-                continue
-            vk = hs[vpos]
-            bi = K.bucket_index(vk, self.nbs[i]).astype(np.int64) \
-                + off[vpos]
+            if self.full[i]:
+                # every shard has level i (the common case: all but
+                # the newest level or two) — probe all pending lanes
+                # without the fancy-index copies
+                vpos, vk, vm = None, hs, m64
+            else:
+                vpos = np.flatnonzero(off >= 0)
+                if vpos.size == 0:
+                    continue
+                vk, vm, off = hs[vpos], m64[vpos], off[vpos]
+            bi = K.bucket_index(vk, self.nbs[i]).astype(np.int64) + off
             g = self.mats[i][bi]
-            vm = m64[vpos]
             np.bitwise_and(g, vm, out=g)
             found = (g == vm).all(axis=1)
             if found.any():
-                hit = vpos[found]
+                hit = np.flatnonzero(found) if vpos is None \
+                    else vpos[found]
                 out[hit if idx is None else idx[hit]] = True
                 keep = np.ones(len(hs), dtype=bool)
                 keep[hit] = False
