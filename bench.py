@@ -274,6 +274,17 @@ def main() -> None:
         f.add_hashes(fam_keys)
         return f
 
+    def build_block():
+        from libfilter_spark.filters import BlockFilter
+        f = BlockFilter.create_with_ndv_fpp(1_000_000, 0.004)
+        f.add_hashes(fam_keys)
+        return f
+
+    # the reference's headline kernel (SimdBlockFilter 28.6/86.5 ns
+    # insert/lookup, all-bench-100000000-017.txt) — the cache-blocked
+    # numpy kernels land at ~79/63 at 5M keys; record the 1M-key row
+    # beside the other families so the C-ratio reads from the record
+    time_family("block", build_block)
     time_family("taffy_cuckoo", build_tcf)
     time_family("taffy_cuckoo_grown", build_tcf_grown)
     time_family("frozen_tcf", build_tcf, probe_target=lambda f: f.freeze())
