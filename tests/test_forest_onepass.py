@@ -425,3 +425,24 @@ def test_probe_only_default_freezes_tcf(spark):
     tbf = build_filter_forest(keys, "key", "taffy_block", ndv=n,
                               n_shards=4)
     assert all(r["family"] == "taffy_block" for r in tbf.collect())
+
+
+def test_tbf_forest_uniform_rejects_foreign_mix():
+    """_tbf_forest_uniform only accepts shards whose per-level sizes
+    agree (one forest's shared creation params); a mix of filters
+    created with different params must fall back to the grouped
+    route, not assemble a wrong-size matrix."""
+    import numpy as np
+
+    import libfilter_spark.spark.probe as P
+    from libfilter_spark.filters.taffy_block import TaffyBlockFilter
+    from libfilter_spark.kernels.keys import splitmix64
+
+    a = TaffyBlockFilter.create(64, 0.01)
+    a.add_hashes(splitmix64(5000, seed=1))
+    b = TaffyBlockFilter.create(50_000, 0.001)  # different schedule
+    b.add_hashes(splitmix64(5000, seed=2))
+    blobs = {0: a.serialize(), 1: b.serialize()}
+    assert not P._tbf_forest_uniform(blobs)
+    assert P._TbfForestMultiProbe.assemble(2, blobs) is None
+    assert P._tbf_forest_uniform({}) is False
