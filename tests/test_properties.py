@@ -213,3 +213,100 @@ def test_static_xor_fast_matches_exact_membership(seed, n):
     assert fast.size_in_bytes() == exact.size_in_bytes()
     assert bool(exact.find_hashes(keys).all())
     assert bool(fast.find_hashes(keys).all())
+
+
+# --- assembled forest probes (round-6 read-only serving shapes) ------
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=SEEDS,
+       n=st.integers(min_value=50, max_value=8000),
+       n_shards=st.integers(min_value=2, max_value=12),
+       grow=st.integers(min_value=0, max_value=3),
+       drop=st.integers(min_value=0, max_value=2))
+def test_assembled_tbf_forest_probe_parity(seed, n, n_shards, grow,
+                                           drop):
+    """The multi-level assembled TBF forest probe must answer
+    bit-identically to per-shard ``find_hashes`` under ANY shard
+    count, ragged growth pattern, and missing-shard subset (missing
+    shards report False), and its publisher image must round-trip.
+    Randomized generalization of
+    tests/test_forest_onepass.py::test_assembled_tbf_multilevel_probe_unit."""
+    import libfilter_spark.spark.probe as P
+    from libfilter_spark.kernels.keys import shard_of_keys
+
+    keys = _keys(n, seed)
+    sh = shard_of_keys(keys, n_shards, binary=False)
+    blobs, filters = {}, {}
+    for s in range(n_shards):
+        ks = keys[sh == s]
+        if s < grow:  # ragged: some shards several levels deeper
+            extra = _keys(30_000 * (s + 1), seed ^ (s + 1))
+            ks = np.concatenate(
+                [ks, extra[shard_of_keys(extra, n_shards,
+                                         binary=False) == s]])
+        f = TaffyBlockFilter.create(64, 0.01)
+        if len(ks):
+            f.add_hashes(ks)
+        filters[s], blobs[s] = f, f.serialize()
+    for s in range(min(drop, n_shards - 1)):  # keep >= 1 shard
+        del blobs[n_shards - 1 - s]
+    pv = P._TbfForestMultiProbe.assemble(n_shards, blobs)
+    assert pv is not None
+    absent = _keys(2 * n, ~seed & 0xFFFFFFFF)[n:]
+    mixed = np.concatenate([keys, absent])
+    msh = shard_of_keys(mixed, n_shards, binary=False)
+    expect = np.zeros(len(mixed), dtype=bool)
+    for s in blobs:
+        m = msh == s
+        expect[m] = filters[s].find_hashes(mixed[m])
+    assert np.array_equal(pv.find(mixed, binary=False), expect)
+    pv2 = P._TbfForestMultiProbe.from_raw(n_shards, pv.to_raw())
+    assert pv2 is not None
+    assert np.array_equal(pv2.find(mixed, binary=False), expect)
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=SEEDS,
+       n=st.integers(min_value=50, max_value=6000),
+       n_shards=st.integers(min_value=2, max_value=12),
+       drop=st.integers(min_value=0, max_value=2))
+def test_assembled_frozen_tcf_forest_probe_parity(seed, n, n_shards,
+                                                  drop):
+    """The assembled frozen-TCF forest probe must answer
+    bit-identically to per-shard FrozenTaffyCuckooFilter finds under
+    ANY shard count and missing-shard subset — including the fp==0
+    always-true quirk, which must NOT leak through missing shards —
+    and the publisher image must round-trip. When the forest is not
+    uniform (a shard grew to a different log_side_size), assemble
+    must refuse (None), never mis-answer."""
+    import libfilter_spark.spark.probe as P
+    from libfilter_spark.kernels.keys import shard_of_keys
+
+    keys = _keys(n, seed)
+    sh = shard_of_keys(keys, n_shards, binary=False)
+    blobs, frozen = {}, {}
+    for s in range(n_shards):
+        f = TaffyCuckooFilter.create(max(64, n // n_shards))
+        ks = keys[sh == s]
+        if len(ks):
+            f.add_hashes(ks)
+        fr = f.freeze()
+        frozen[s], blobs[s] = fr, fr.serialize()
+    for s in range(min(drop, n_shards - 1)):
+        del blobs[n_shards - 1 - s]
+    pv = P._FrozenTcfForestProbe.assemble(n_shards, blobs)
+    if pv is None:  # uneven growth made shards non-uniform: refusal
+        assert not P._frozen_tcf_uniform(blobs)
+        return
+    absent = _keys(2 * n, ~seed & 0xFFFFFFFF)[n:]
+    mixed = np.concatenate([keys, absent])
+    msh = shard_of_keys(mixed, n_shards, binary=False)
+    expect = np.zeros(len(mixed), dtype=bool)
+    for s in blobs:
+        m = msh == s
+        expect[m] = frozen[s].find_hashes(mixed[m])
+    assert np.array_equal(pv.find(mixed, binary=False), expect)
+    pv2 = P._FrozenTcfForestProbe.from_raw(n_shards, pv.to_raw())
+    assert pv2 is not None
+    assert np.array_equal(pv2.find(mixed, binary=False), expect)
