@@ -73,11 +73,15 @@ def _merge_num(old, new, rule: str):
 
 
 def _extras_merge_rule(name: str) -> str | None:
-    """Best-direction per throughput metric; None ⇒ keep latest."""
-    if name.endswith("_ns_per_key") or name.endswith("_sec"):
-        return "min"
+    """Best-direction per throughput metric; None ⇒ keep latest.
+    Throughput suffixes are tested FIRST: "_keys_per_sec" also ends
+    with "_sec", so the min-rule check must not shadow it (it once
+    did, silently min-merging every *_keys_per_sec row to the worst
+    run; pinned by tests/test_bench_merge.py)."""
     if name.endswith("_keys_per_sec") or name.endswith("_keys_per_s"):
         return "max"
+    if name.endswith("_ns_per_key") or name.endswith("_sec"):
+        return "min"
     return None
 
 
