@@ -356,31 +356,43 @@ def merge_filter_blobs(partials: DataFrame, group_cols: list[str],
         # call per partition loops the groups in pandas — identical
         # blobs, identical sorted merge order, so the output stays
         # byte-identical; Python calls drop to 2× shuffle partitions.
+        #
+        # The repartition carries an EXPLICIT partition count: with
+        # bare repartition(*cols) AQE coalesces the KB-blob exchange
+        # by size (50 MB of partials → 5 partitions measured), which
+        # serializes the per-group Python merges that the repartition
+        # exists to parallelize — a 1000-group merge took 9.1 s
+        # coalesced vs 1.7 s pinned at local[32]. Each partition also
+        # accumulates its merged rows and yields ONE frame instead of
+        # one 1-row frame (= one Arrow batch) per group.
         l1_keys = [*group_cols, "__mb"]
+        spark = partials.sparkSession
+        try:
+            nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            nparts = spark.sparkContext.defaultParallelism
 
-        def merge_l1_local(batches):
-            pdfs = [p for p in batches if len(p)]
-            if not pdfs:
-                return
-            pdf = pd.concat(pdfs, ignore_index=True)
-            for _, g in pdf.groupby(l1_keys, sort=False, dropna=False):
-                out = merge_rows(g.drop(columns="__mb"))
-                out["__mb"] = [int(g["__mb"].iloc[0])]
-                yield out
+        def _merge_local(keys, keep_mb):
+            def merge_local(batches):
+                pdfs = [p for p in batches if len(p)]
+                if not pdfs:
+                    return
+                pdf = pd.concat(pdfs, ignore_index=True)
+                outs = []
+                for _, g in pdf.groupby(keys, sort=False, dropna=False):
+                    out = merge_rows(g.drop(columns="__mb")
+                                     if "__mb" in g else g)
+                    if keep_mb:
+                        out["__mb"] = [int(g["__mb"].iloc[0])]
+                    outs.append(out)
+                yield pd.concat(outs, ignore_index=True)
+            return merge_local
 
-        def merge_l2_local(batches):
-            pdfs = [p for p in batches if len(p)]
-            if not pdfs:
-                return
-            pdf = pd.concat(pdfs, ignore_index=True)
-            for _, g in pdf.groupby(list(group_cols), sort=False,
-                                    dropna=False):
-                yield merge_rows(g)
-
-        level1 = level1_in.repartition(*l1_keys) \
-            .mapInPandas(merge_l1_local, schema=l1_schema)
-        return level1.drop("__mb").repartition(*group_cols) \
-            .mapInPandas(merge_l2_local, schema=schema)
+        level1 = level1_in.repartition(nparts, *l1_keys) \
+            .mapInPandas(_merge_local(l1_keys, True), schema=l1_schema)
+        return level1.drop("__mb").repartition(nparts, *group_cols) \
+            .mapInPandas(_merge_local(list(group_cols), False),
+                         schema=schema)
     level1 = level1_in.groupBy("__mb").applyInPandas(merge_l1,
                                                      schema=l1_schema)
     return (level1.withColumn("__g", F.lit(0)).groupBy("__g")
@@ -520,9 +532,16 @@ def _grouped_bitor_assemble(proj: DataFrame, group_cols: list[str],
     nonzero-bucket rows into a filter blob via ``make_blob``."""
     from .sharded import block_groupby_bitor
 
+    spark = proj.sparkSession
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        nparts = spark.sparkContext.defaultParallelism
+    # explicit count: AQE would coalesce a small bucket-row exchange
+    # and serialize the per-group assembly (see merge_filter_blobs)
     agg = block_groupby_bitor(proj, key_col, num_buckets,
                               lead_cols=group_cols) \
-        .repartition(*group_cols)
+        .repartition(nparts, *group_cols)
     out_names = [f.name for f in schema.fields]
 
     def assemble(batches):
