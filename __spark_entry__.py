@@ -1040,8 +1040,16 @@ def q_fpp_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent = _keyed(load_table(spark, sf_dir, "events"), "event_id") \
         .select("key").cache()
     n_absent = absent.count()
-    out = []
-    for family in ("block", "bloom", "taffy_block"):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from libfilter_spark.spark.forest import (build_filter_forest,
+                                              probe_with_forest)
+
+    # the five family audits are independent Spark jobs over the two
+    # cached key frames; thread-submitting them lets the scheduler
+    # interleave their stages (5 sequential build+probe legs otherwise
+    # pay 5 driver round-trip chains back to back)
+    def partials_leg(family: str) -> tuple:
         # cache the ONE-ROW filters frame: the audit reads it twice
         # (blob size + probe broadcast) and an uncached frame re-runs
         # the whole build per read
@@ -1066,13 +1074,11 @@ def q_fpp_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
             model = block_fpp(n_build, fbytes if family == "block"
                               else fbytes)
         sigma = (model * (1 - model) / max(n_absent, 1)) ** 0.5
-        out.append((family, bool(measured <= model + 5 * sigma + 1e-6)))
+        return (family, bool(measured <= model + 5 * sigma + 1e-6))
+
     # cuckoo families: forest build (full-resolution shards, zero tail
     # loss) vs the 2^(-F+O(1)) growable-filter bound
-    from libfilter_spark.spark.forest import (build_filter_forest,
-                                              probe_with_forest)
-    for family, fbits, slots in (("taffy_cuckoo", 10, 8),
-                                 ("minimal_taffy_cuckoo", 9, 16)):
+    def forest_leg(family: str, fbits: int, slots: int) -> tuple:
         # cache: the probe reads the forest twice (params + broadcast
         # collect) — without it each read is a full rebuild
         forest = build_filter_forest(build, "key", family,
@@ -1084,8 +1090,16 @@ def q_fpp_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
         measured = hits / max(n_absent, 1)
         model = slots * 2.0 ** (-fbits)
         sigma = (model * (1 - model) / max(n_absent, 1)) ** 0.5
-        out.append((family, bool(measured <= model + 5 * sigma + 1e-6)))
         forest.unpersist()
+        return (family, bool(measured <= model + 5 * sigma + 1e-6))
+
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        futs = [ex.submit(partials_leg, f)
+                for f in ("block", "bloom", "taffy_block")]
+        futs += [ex.submit(forest_leg, f, fb, sl)
+                 for f, fb, sl in (("taffy_cuckoo", 10, 8),
+                                   ("minimal_taffy_cuckoo", 9, 16))]
+        out = [f.result() for f in futs]
     return spark.createDataFrame(pd.DataFrame(
         out, columns=["family", "within_model"]))
 
@@ -1102,28 +1116,42 @@ def q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule merge-associativity contract, exercised through the
     distributed pipeline: build at 3 different partitionings, assert
     byte-identical merged state for the lattice families."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pandas as pd
 
     from libfilter_spark.spark.sketch_build import build_sketches
 
-    docs = with_content_key(load_table(spark, sf_dir, "documents"), "text")
-    out = []
-    for family in ("block", "taffy_block"):
-        blobs = set()
-        for parts in (1, 3, 7):
-            flt = build_filters(docs.repartition(parts), ["lang"],
-                                family=family, ndv=4096, fpp=0.01)
-            blobs.add(tuple(sorted(
-                (r["lang"], bytes(r["filter"])) for r in flt.collect())))
-        out.append((family, len(blobs) == 1))
-    for kind in ("hll", "countmin"):
-        blobs = set()
-        for parts in (1, 3, 7):
-            sk = build_sketches(docs.repartition(parts), ["lang"], "key",
-                                kind=kind)
-            blobs.add(tuple(sorted(
-                (r["lang"], bytes(r["sketch"])) for r in sk.collect())))
-        out.append((kind, len(blobs) == 1))
+    docs = with_content_key(load_table(spark, sf_dir, "documents"),
+                            "text").cache()
+    docs.count()   # 12 legs re-read the cache, not 12 sha passes
+
+    # the 12 (family, partitioning) legs are independent Spark jobs;
+    # submitting them from threads lets the scheduler interleave their
+    # stages instead of paying 12 sequential driver round-trips —
+    # results are per-leg deterministic, so the audit is unchanged
+    def filter_leg(family: str, parts: int):
+        flt = build_filters(docs.repartition(parts), ["lang"],
+                            family=family, ndv=4096, fpp=0.01)
+        return tuple(sorted(
+            (r["lang"], bytes(r["filter"])) for r in flt.collect()))
+
+    def sketch_leg(kind: str, parts: int):
+        sk = build_sketches(docs.repartition(parts), ["lang"], "key",
+                            kind=kind)
+        return tuple(sorted(
+            (r["lang"], bytes(r["sketch"])) for r in sk.collect()))
+
+    legs = [("block", filter_leg), ("taffy_block", filter_leg),
+            ("hll", sketch_leg), ("countmin", sketch_leg)]
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        futs = {(name, parts): ex.submit(fn, name, parts)
+                for name, fn in legs for parts in (1, 3, 7)}
+        out = [(name,
+                len({futs[(name, parts)].result()
+                     for parts in (1, 3, 7)}) == 1)
+               for name, _ in legs]
+    docs.unpersist()
     return spark.createDataFrame(pd.DataFrame(
         out, columns=["family", "byte_identical"]))
 
