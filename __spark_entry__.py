@@ -205,7 +205,9 @@ def q_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_found == n_docs because a Bloom probe of an inserted key can
     never miss."""
     docs = with_content_key(load_table(spark, sf_dir, "documents"), "text")
-    filters = build_filters(docs, ["lang"], ndv=1 << 14, fpp=0.01)
+    # cache: probe_with_filters collects the frame AND the meta join
+    # reads it again — uncached that is two full grouped builds
+    filters = build_filters(docs, ["lang"], ndv=1 << 14, fpp=0.01).cache()
     probed = probe_with_filters(docs, filters, ["lang"])
     stats = (probed.groupBy("lang")
              .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -230,7 +232,7 @@ def q_filter_audit_taffy(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe of an inserted key never misses)."""
     docs = with_content_key(load_table(spark, sf_dir, "documents"), "text")
     filters = build_filters(docs, ["lang"], family="taffy_block",
-                            ndv=64, fpp=0.01)
+                            ndv=64, fpp=0.01).cache()  # meta join re-reads
     probed = probe_with_filters(docs, filters, ["lang"])
     stats = (probed.groupBy("lang")
              .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -356,7 +358,7 @@ def q_filter_audit_tcf(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-dependent (pre-sizing by partial batch), not reported."""
     docs = with_content_key(load_table(spark, sf_dir, "documents"), "text")
     filters = build_filters(docs, ["lang"], family="taffy_cuckoo",
-                            ndv=256, fpp=0.01)
+                            ndv=256, fpp=0.01).cache()  # meta join re-reads
     probed = probe_with_filters(docs, filters, ["lang"])
     stats = (probed.groupBy("lang")
              .agg(F.count(F.lit(1)).alias("n_docs"),
