@@ -855,8 +855,11 @@ def q_shuffle_grouped_semijoin(spark: SparkSession,
     from libfilter_spark.spark.build import build_filters
     from libfilter_spark.spark.probe import probe_with_filters
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # cache: the keyed build side feeds BOTH the grouped filter build
+    # and the exact-verify semijoin — uncached, the scan + sha pass
+    # over the returned-items slice runs twice
     build = _keyed(lineitem.where("l_returnflag = 'R'"), "l_partkey") \
-        .select("l_suppkey", "key")
+        .select("l_suppkey", "key").cache()
     probe = _keyed(lineitem, "l_partkey")
     filters = build_filters(build, ["l_suppkey"], ndv=1 << 10,
                             fpp=0.01)

@@ -448,27 +448,89 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
 
 # --- near-dup clustering / keep-one ---------------------------------------
 
+def _driver_union_find(spark, edge_rows) -> DataFrame:
+    """Union-find with path compression over a collected edge list;
+    labels = min member id per component (same contract as the
+    distributed route). Bounded by the near_dup_clusters edge budget."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:        # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        u, v = r[0], r[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN id keeps roots == component minima
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    ids = list(parent)
+    labels = [find(i) for i in ids]
+    pdf = pd.DataFrame({"id": ids, "cluster_id": labels})
+    if not len(pdf):
+        return spark.createDataFrame(
+            [], schema="id string, cluster_id string")
+    return spark.createDataFrame(pdf)
+
+
 def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
                       id_b: str = "id_b",
-                      max_iters: int = 20) -> DataFrame:
+                      max_iters: int = 20,
+                      driver_max_edges: int | None = None) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id)
     with cluster_id = the minimum member id (deterministic labels).
 
-    Min-label propagation with POINTER JUMPING over the edge list:
-    each round every node adopts the smallest label among itself and
-    its neighbors (one hop), then jumps to its label's label
-    (label(x) <- label(label(x))) — so label information travels
-    ~2^rounds hops and convergence is O(log diameter), not
+    Route 1 (small graphs): when the pair count is within
+    ``driver_max_edges`` (default env LIBFILTER_CC_DRIVER_MAX or
+    200k — a few MB of ids on the driver), the edge list collects and
+    a union-find with path compression labels components in one pass.
+    Near-dup graphs are usually output-sized (≈ the duplicate count,
+    not the corpus), so this is the common case even at large sf; the
+    distributed loop's per-round scheduling latency dwarfs the whole
+    solve at this size. Pass ``driver_max_edges=0`` to force route 2.
+
+    Route 2 (at scale): min-label propagation with POINTER JUMPING
+    over the edge list: each round every node adopts the smallest
+    label among itself and its neighbors (one hop), then jumps to its
+    label's label (label(x) <- label(label(x))) — so label information
+    travels ~2^rounds hops and convergence is O(log diameter), not
     O(diameter): a 10k-node chain converges in ~14 rounds, well under
     max_iters. All joins are on the id column — no driver-side state,
-    scales with the pairs volume, which is output-sized (≈ the
-    duplicate count, not the corpus). Superseded label caches are
+    scales with the pairs volume. Superseded label caches are
     unpersisted each round and the lineage is truncated with a
     localCheckpoint every 5 rounds so adversarial chains can't grow
     an unbounded plan. Warns if max_iters is exhausted before
-    convergence (labels would split one true cluster)."""
+    convergence (labels would split one true cluster).
+
+    Both routes emit identical labels (min member id per component,
+    order-independent) — pinned by tests on random graphs."""
+    import os
+
+    if driver_max_edges is None:
+        driver_max_edges = int(os.environ.get(
+            "LIBFILTER_CC_DRIVER_MAX", 200_000))
     pairs = pairs.cache()   # the edge union reads it twice; without
     # this the whole upstream candidate pipeline recomputes per select
+    if driver_max_edges > 0:
+        head = pairs.select(F.col(id_a).alias("u"),
+                            F.col(id_b).alias("v")) \
+            .limit(driver_max_edges + 1).collect()
+        if head and len(head) <= driver_max_edges:
+            return _driver_union_find(pairs.sparkSession, head)
+        # (an EMPTY edge list also falls through: the distributed
+        # route derives the empty labels frame with the input's id
+        # type, which the driver route cannot recover from zero rows)
+        # over budget: fall through to the distributed loop (the
+        # collected prefix is discarded; pairs stays cached)
     edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
              .unionAll(pairs.select(F.col(id_b).alias("u"),
                                     F.col(id_a).alias("v")))
@@ -504,8 +566,9 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
                                                  "cluster_id"))
                               .alias("cluster_id")))
         # materialize ONCE with the change flag riding along; the
-        # convergence check is then a scan of the fresh cache, not a
-        # recomputation of the whole round
+        # change count comes out of the SAME full-scan aggregate that
+        # populates the cache, so each round costs one action, not a
+        # count() plus a second convergence job
         cmp = (jumped.alias("n")
                .join(labels.alias("o"), on="id")
                .select("id", F.col("n.cluster_id").alias("cluster_id"),
@@ -515,8 +578,8 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
             cmp = cmp.localCheckpoint(eager=True)
         else:
             cmp = cmp.cache()
-            cmp.count()
-        changed = cmp.where("__chg").limit(1).count()
+        changed = cmp.agg(
+            F.sum(F.col("__chg").cast("long"))).collect()[0][0] or 0
         while len(cached) > 1:  # keep only the cache labels reads from
             cached.pop(0).unpersist()
         cached.append(cmp)

@@ -231,10 +231,46 @@ def test_near_dup_clusters_long_chain(spark):
     spark.conf.set("spark.sql.shuffle.partitions", "4")  # tiny frames:
     # ~14 rounds x 3 jobs are pure scheduling overhead at 32 partitions
     try:
-        labels = near_dup_clusters(pairs, max_iters=20)
+        # driver_max_edges=0 pins the DISTRIBUTED route (the default
+        # would take the driver union-find fast path at this size)
+        labels = near_dup_clusters(pairs, max_iters=20,
+                                   driver_max_edges=0)
         got = labels.select("cluster_id").distinct().collect()
         assert len(got) == 1 and got[0][0] == 0
         assert labels.count() == n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_near_dup_clusters_routes_agree(spark):
+    """The driver union-find fast path and the distributed
+    pointer-jumping loop emit IDENTICAL labels (min member id per
+    component) on a random graph with chains, triangles, hubs, and
+    singleton-free ids, and on string ids."""
+    import random
+
+    from libfilter_spark.functions.dedup import near_dup_clusters
+    rng = random.Random(7)
+    edges = [(rng.randrange(500), rng.randrange(500)) for _ in range(300)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        fast = {r.id: r.cluster_id
+                for r in near_dup_clusters(pairs).collect()}
+        dist = {r.id: r.cluster_id
+                for r in near_dup_clusters(
+                    pairs, driver_max_edges=0).collect()}
+        assert fast == dist and fast
+        spairs = spark.createDataFrame(
+            [(f"d{u:03d}", f"d{v:03d}") for u, v in edges[:50]],
+            "id_a string, id_b string")
+        sfast = {r.id: r.cluster_id
+                 for r in near_dup_clusters(spairs).collect()}
+        sdist = {r.id: r.cluster_id
+                 for r in near_dup_clusters(
+                     spairs, driver_max_edges=0).collect()}
+        assert sfast == sdist and sfast
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
