@@ -978,8 +978,10 @@ def q_source_code_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from libfilter_spark.sources.codegen import source_code_table
     from libfilter_spark.spark.keys import with_content_key_bin
 
+    # cache: the generated+keyed table feeds the build, the probe,
+    # AND the exact-verify side — uncached, generation + sha run 3x
     src = with_content_key_bin(source_code_table(spark, 20_000, seed=42),
-                               "content")
+                               "content").cache()
     mega = src.where(F.col("repo") == "org0/repo0")
     rest = src.where(F.col("repo") != "org0/repo0")
     filters = build_filters(mega, ["lang"], ndv=1 << 12, fpp=0.01)
