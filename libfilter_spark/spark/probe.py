@@ -564,6 +564,195 @@ class _FrozenTcfForestProbe:
         return out & self.present[shards]
 
 
+class _LiveTcfForestProbe:
+    """Assembled probe view of a LIVE (absorb-capable) taffy-cuckoo
+    forest. Live buckets are 4×u16 slots ``tail:6|fingerprint:10``
+    (``taffy-cuckoo.h:68-73``) and every shard of a pre-sized forest
+    shares one ``log_side_size`` and the default entropy table, so the
+    per-side slot matrices concatenate into ONE (S << log, 4) u16
+    matrix: global bucket = shard << log | bucket, and — because the
+    Feistel keys are shared — the permutation runs ONCE per batch for
+    ALL shards. Replaces the grouped route's per-batch argsort
+    segmentation + S tiny ``find_hashes`` calls (at 64 shards a 65k-row
+    Arrow batch hands each shard only ~1k keys — the small-segment
+    regime where per-call overhead dominates). Stash entries fold into
+    one sorted shard-prefixed code table per side with a parallel tail
+    array (prefix test stays exact, duplicates handled by window
+    offsets); keys routed to a shard with NO row in the frame report
+    False, matching the grouped route."""
+
+    def __init__(self, n_shards: int, log: int, entropy: tuple,
+                 data: list, stash_codes: list, stash_tails: list,
+                 present: "np.ndarray"):
+        self.n_shards = n_shards
+        self.log = log
+        self.entropy = entropy
+        self.data = data                # [D0, D1] u16, (S << log, 4)
+        self.stash_codes = stash_codes  # [c0, c1] SORTED u64
+        self.stash_tails = stash_tails  # parallel i64 tails (< 64)
+        self.present = present          # (S,) bool
+
+    @classmethod
+    def assemble(cls, n_shards: int, shard_blobs: dict[int, bytes]):
+        """→ _LiveTcfForestProbe, or None when shards are not uniform
+        (different log_side_size or entropy — a shard that upsized
+        past its siblings)."""
+        from ..filters.taffy_cuckoo import HEAD, SLOTS, TaffyCuckooFilter
+        log = entropy = None
+        per = {}
+        for s, blob in shard_blobs.items():
+            f = TaffyCuckooFilter.deserialize(blob)
+            if log is None:
+                log, entropy = f.log_side_size, f.entropy
+            elif f.log_side_size != log or f.entropy != entropy:
+                return None
+            per[s] = f
+        if log is None:
+            return None
+        nb = 1 << log
+        data = [np.zeros((n_shards * nb, SLOTS), dtype=np.uint16)
+                for _ in range(2)]
+        st_parts: list[list] = [[], []]
+        present = np.zeros(n_shards, dtype=bool)
+        for s, f in per.items():
+            present[s] = True
+            for i in range(2):
+                data[i][s * nb:(s + 1) * nb] = f.sides[i].data
+                for (b, fp, t) in f.sides[i].stash:
+                    if t:   # tail==0 ⇒ empty stash slot
+                        st_parts[i].append(
+                            ((s << (log + HEAD)) | (b << HEAD) | fp, t))
+        codes, tails = [], []
+        for i in range(2):
+            if st_parts[i]:
+                arr = np.array(sorted(st_parts[i]), dtype=np.uint64)
+                codes.append(np.ascontiguousarray(arr[:, 0]))
+                tails.append(arr[:, 1].astype(np.int64))
+            else:
+                codes.append(np.zeros(0, dtype=np.uint64))
+                tails.append(np.zeros(0, dtype=np.int64))
+        return cls(n_shards, log, entropy, data, codes, tails, present)
+
+    def to_raw(self) -> "np.ndarray":
+        """Flat u64 image for the /dev/shm publisher: [log, ns0, ns1,
+        entropy×8, present (S), D0, D1, codes0, tails0, codes1,
+        tails1]. A 4-slot u16 bucket row is exactly one u64 word."""
+        header = np.array([self.log, self.stash_codes[0].size,
+                           self.stash_codes[1].size, *self.entropy],
+                          dtype=np.uint64)
+        return np.concatenate(
+            [header, self.present.astype(np.uint64),
+             np.ascontiguousarray(self.data[0]).reshape(-1)
+             .view(np.uint64),
+             np.ascontiguousarray(self.data[1]).reshape(-1)
+             .view(np.uint64),
+             self.stash_codes[0], self.stash_tails[0].view(np.uint64),
+             self.stash_codes[1], self.stash_tails[1].view(np.uint64)])
+
+    @classmethod
+    def from_raw(cls, n_shards: int, raw: "np.ndarray"):
+        """Inverse of to_raw; None on any size mismatch (truncated or
+        foreign file ⇒ caller assembles privately)."""
+        from ..filters.taffy_cuckoo import SLOTS
+        if raw.size < 11 + n_shards:
+            return None
+        log, ns0, ns1 = int(raw[0]), int(raw[1]), int(raw[2])
+        if not 1 <= log <= 48:
+            return None
+        nb = 1 << log
+        span = n_shards * nb
+        if raw.size != 11 + n_shards + 2 * span + 2 * (ns0 + ns1):
+            return None
+        entropy = tuple(int(x) for x in raw[3:11])
+        off = 11
+        present = raw[off:off + n_shards].astype(bool)
+        off += n_shards
+        data = []
+        for _ in range(2):
+            data.append(np.ascontiguousarray(raw[off:off + span])
+                        .view(np.uint16).reshape(-1, SLOTS))
+            off += span
+        codes, tails = [], []
+        for ns in (ns0, ns1):
+            codes.append(np.ascontiguousarray(raw[off:off + ns]))
+            off += ns
+            tails.append(np.ascontiguousarray(raw[off:off + ns])
+                         .view(np.int64))
+            off += ns
+        return cls(n_shards, log, entropy, data, codes, tails, present)
+
+    def find(self, keys: "np.ndarray", binary: bool) -> "np.ndarray":
+        from ..filters.taffy_cuckoo import FP_MASK, HEAD, TAIL
+        from ..kernels.feistel import (feistel_forward_batch_lean,
+                                       is_prefix_of_batch)
+        from ..kernels.keys import shard_of_keys
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        h = keys.astype(np.uint64, copy=False)
+        shards = shard_of_keys(keys, self.n_shards,
+                               binary=binary).astype(np.int64)
+        log = self.log
+        out = np.zeros(len(h), dtype=bool)
+        tail_shift = np.uint64(64 - log - HEAD - TAIL)
+        tmask = np.uint64((1 << TAIL) - 1)
+        pre = h >> np.uint64(64 - log - HEAD)
+        e = self.entropy
+        side_keys = [((e[0], e[1]), (e[2], e[3])),
+                     ((e[4], e[5]), (e[6], e[7]))]
+        sh_hi = shards.astype(np.uint64) << np.uint64(log + HEAD)
+
+        def ptail_at(ri):             # lazy tail, matched lanes only
+            return (((h[ri] >> tail_shift) & tmask)
+                    .astype(np.int64) << 1) | 1
+
+        for i in range(2):
+            hashed = feistel_forward_batch_lean(side_keys[i],
+                                                log + HEAD, pre)
+            bucket = (hashed >> np.uint64(HEAD)).astype(np.int64)
+            fp16 = (hashed & np.uint64(FP_MASK)).astype(np.uint16)
+            slots = self.data[i][(shards << np.int64(log)) + bucket]
+            cand = (slots & np.uint16(FP_MASK)) == fp16[:, None]
+            cand &= slots > np.uint16(FP_MASK)   # occupied ⇔ tail != 0
+            rows, cols = np.nonzero(cand)
+            if len(rows):
+                pref = is_prefix_of_batch(
+                    slots[rows, cols] >> np.uint16(HEAD), ptail_at(rows))
+                out[rows[pref]] = True
+            codes = self.stash_codes[i]
+            if codes.size:
+                key_code = sh_hi | hashed
+                lo = np.searchsorted(codes, key_code, "left")
+                hi = np.searchsorted(codes, key_code, "right")
+                # duplicate codes (same path, different tails) are
+                # walked by window offset; windows are stash-sized
+                for o in range(int((hi - lo).max(initial=0))):
+                    idx = np.flatnonzero(lo + o < hi)
+                    if not len(idx):
+                        break
+                    pref = is_prefix_of_batch(
+                        self.stash_tails[i][lo[idx] + o], ptail_at(idx))
+                    out[idx[pref]] = True
+        return out & self.present[shards]
+
+
+def _live_tcf_uniform(shard_blobs: dict[int, bytes]) -> bool:
+    """Driver-side eligibility for the assembled live-TCF probe: every
+    shard shares one (log_side_size, entropy) header — a 65-byte
+    compare at fixed offsets (serialize(): magic 4B | log 1B +
+    occupied 8B | rng 24B | entropy 64B), no slot data touched."""
+    from ..filters.taffy_cuckoo import _MAGIC
+    sig = None
+    for blob in shard_blobs.values():
+        if blob[:4] != _MAGIC or len(blob) < 101:
+            return False
+        hdr = blob[4:5] + blob[37:101]  # log + entropy (rng varies)
+        if sig is None:
+            sig = hdr
+        elif hdr != sig:
+            return False
+    return sig is not None
+
+
 def _frozen_tcf_uniform(shard_blobs: dict[int, bytes]) -> bool:
     """Driver-side eligibility for the assembled frozen-TCF probe:
     every shard shares one (log_side_size, entropy) header — a
@@ -748,6 +937,11 @@ def _attach_assembled(asm_meta: dict):
             arr = np.array(mm) if _SHM_ASM_COPY else mm
             return _FrozenTcfForestProbe.from_raw(
                 int(asm_meta["n_shards"]), arr)
+        if asm_meta["kind"] == "tcf_set":
+            mm = np.memmap(path, dtype=np.uint64, mode="r")
+            arr = np.array(mm) if _SHM_ASM_COPY else mm
+            return _LiveTcfForestProbe.from_raw(
+                int(asm_meta["n_shards"]), arr)
         mm32 = np.memmap(path, dtype=np.uint32, mode="r")
         exp = asm_meta.get("bytes")
         if exp is not None and mm32.size * 4 != exp:
@@ -882,6 +1076,11 @@ def _asm_build_from_map(filter_map: dict):
         pv = _FrozenTcfForestProbe.assemble(n_sh, shard_blobs)
         assert pv is not None  # driver checked eligibility
         return pv, pv.to_raw()
+    if fam == "tcf_set":
+        n_sh, shard_blobs = blob
+        pv = _LiveTcfForestProbe.assemble(n_sh, shard_blobs)
+        assert pv is not None  # driver checked eligibility
+        return pv, pv.to_raw()
     raw = np.frombuffer(_assembled_block_bytes(blob), np.uint8)
     return BlockFilter(raw.view(np.uint32)), raw
 
@@ -942,6 +1141,14 @@ def _materialize(bc, asm_meta: dict | None = None) -> dict:
                 n_sh, shard_blobs = blob
                 cached[g] = _FrozenTcfForestProbe.assemble(n_sh,
                                                            shard_blobs)
+                assert cached[g] is not None  # driver checked eligibility
+                continue
+            if fam == "tcf_set":
+                # uniform LIVE TCF forest: one concatenated u16 slot
+                # matrix per side (see _LiveTcfForestProbe)
+                n_sh, shard_blobs = blob
+                cached[g] = _LiveTcfForestProbe.assemble(n_sh,
+                                                         shard_blobs)
                 assert cached[g] is not None  # driver checked eligibility
                 continue
             if fam == "block_slice_set":
@@ -1192,6 +1399,16 @@ def _probe_shard_frame(df: DataFrame, filters_df: DataFrame,
             collected = {(): ("frozen_tcf_set",
                               (int(p["n_shards"]), shard_blobs))}
             mode, kind = "global", "frozen_tcf_set"
+    elif all(r["family"] == "taffy_cuckoo" for r in rows):
+        # uniform LIVE TCF forest (freeze=False / absorb-capable):
+        # concatenated u16 slot matrices, shared Feistel keys — one
+        # vectorized two-side pass per batch instead of S find calls
+        shard_blobs = {int(r["__shard"]): bytes(r["filter"])
+                       for r in rows}
+        if _live_tcf_uniform(shard_blobs):
+            collected = {(): ("tcf_set",
+                              (int(p["n_shards"]), shard_blobs))}
+            mode, kind = "global", "tcf_set"
     if mode == "grouped":
         collected = {(int(r["__shard"]),): (r["family"],
                                             bytes(r["filter"]))
@@ -1291,7 +1508,7 @@ def _broadcast_probe_udf(df: DataFrame, bc, group_cols: list[str],
             return pa.array(np.zeros(len(keys), dtype=bool))
         k, valid = keys_and_valid_from_arrow(keys)
         if isinstance(f, (_TbfForestProbe, _TbfForestMultiProbe,
-                          _FrozenTcfForestProbe)):
+                          _FrozenTcfForestProbe, _LiveTcfForestProbe)):
             # the assembled forest routes by the xxhash64 replica,
             # which hashes binary and int64 key columns differently —
             # the Arrow type is the authority

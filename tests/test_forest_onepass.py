@@ -446,3 +446,119 @@ def test_tbf_forest_uniform_rejects_foreign_mix():
     assert not P._tbf_forest_uniform(blobs)
     assert P._TbfForestMultiProbe.assemble(2, blobs) is None
     assert P._tbf_forest_uniform({}) is False
+
+
+def test_assembled_live_tcf_probe_unit():
+    """The assembled LIVE taffy-cuckoo forest probe must answer
+    EXACTLY like per-shard TaffyCuckooFilter finds: zero FN on present
+    keys, bit-identical FP pattern on absent keys, stash entries
+    findable through the shard-prefixed code table, and keys routed to
+    a MISSING shard reported False. Also pins the to_raw/from_raw
+    publisher image roundtrip, its truncation rejection, and the
+    non-uniform (upsized-shard) refusal."""
+    import numpy as np
+
+    import libfilter_spark.spark.probe as P
+    from libfilter_spark.filters import TaffyCuckooFilter
+    from libfilter_spark.filters.taffy_cuckoo import HEAD, TAIL, _to_path
+    from libfilter_spark.kernels.keys import shard_of_keys, splitmix64
+
+    n, n_sh = 60_000, 8
+    keys = splitmix64(n, seed=21)
+    absent = splitmix64(2 * n, seed=21)[n:]
+    shards = shard_of_keys(keys, n_sh, binary=False)
+    blobs, live = {}, {}
+    stash_probe_keys = []
+    for s in range(n_sh - 1):  # shard 7 deliberately MISSING
+        f = TaffyCuckooFilter.create(n // n_sh)
+        mine = keys[shards == s]
+        f.add_hashes(mine[:-1])
+        # plant the shard's LAST key in the side-0 stash only (never
+        # in a slot): both routes must find it through the stash scan
+        k = int(mine[-1])
+        if not f.find_hash(k):
+            b, fp, t = _to_path(k, f.sides[0].keys, f.log_side_size)
+            f.sides[0].stash.append((b, fp, t))
+            stash_probe_keys.append(k)
+        live[s] = f
+        blobs[s] = f.serialize()
+    assert stash_probe_keys  # the plant must exercise the stash path
+    assert P._live_tcf_uniform(blobs)
+    pv = P._LiveTcfForestProbe.assemble(n_sh, blobs)
+    assert pv is not None
+    assert pv.find(np.array(stash_probe_keys, dtype=np.uint64),
+                   binary=False).all()
+    present_mask = shards != (n_sh - 1)
+    got = pv.find(keys, binary=False)
+    # all but the un-inserted planted keys: zero FN; planted keys are
+    # found via the stash, so EVERY present-shard key must hit
+    assert got[present_mask].all()
+    assert not got[~present_mask].any()
+    # absent keys: per-shard bit-parity with the real live filters
+    a_sh = shard_of_keys(absent, n_sh, binary=False)
+    expect = np.zeros(len(absent), dtype=bool)
+    for s, f in live.items():
+        sel = a_sh == s
+        expect[sel] = f.find_hashes(absent[sel])
+    assert np.array_equal(pv.find(absent, binary=False), expect)
+    # publisher image roundtrip (stash tables included)
+    raw = pv.to_raw()
+    pv2 = P._LiveTcfForestProbe.from_raw(n_sh, raw)
+    assert pv2 is not None
+    assert np.array_equal(pv2.find(absent, binary=False), expect)
+    assert pv2.find(keys, binary=False)[present_mask].all()
+    assert pv2.find(np.array(stash_probe_keys, dtype=np.uint64),
+                    binary=False).all()
+    # truncated image rejected
+    assert P._LiveTcfForestProbe.from_raw(n_sh, raw[:-3]) is None
+    assert P._LiveTcfForestProbe.from_raw(
+        n_sh, np.zeros(5, dtype=np.uint64)) is None
+    # non-uniform shards (different log_side_size) not eligible
+    big = TaffyCuckooFilter.create(50 * n)
+    big.add_hashes(keys[:100])
+    blobs2 = dict(blobs)
+    blobs2[n_sh - 1] = big.serialize()
+    assert not P._live_tcf_uniform(blobs2)
+    assert P._LiveTcfForestProbe.assemble(n_sh, blobs2) is None
+    assert P._live_tcf_uniform({}) is False
+
+
+def test_assembled_live_tcf_probe_matches_grouped(spark):
+    """Spark end-to-end: a LIVE (freeze=False) TCF forest probes
+    through the assembled fast path; answers must equal the grouped
+    shard route for binary AND long keys on present + absent keys."""
+    import libfilter_spark.spark.probe as P
+    from libfilter_spark.spark.forest import (SHARD_COL,
+                                              build_filter_forest,
+                                              probe_with_forest,
+                                              with_shard)
+    from libfilter_spark.spark.keys import (with_content_key,
+                                            with_content_key_bin)
+    n = 30_000
+    df = spark.range(n).withColumn("content", F.col("id").cast("string"))
+    absent = spark.range(n, 2 * n).withColumn(
+        "content", F.col("id").cast("string"))
+    for keyfn in (with_content_key_bin,
+                  lambda d, c: with_content_key(d, c, hex_col=None)):
+        keys = keyfn(df, "content").select("key")
+        akeys = keyfn(absent, "content").select("key")
+        forest = build_filter_forest(keys, "key", "taffy_cuckoo",
+                                     ndv=n, fpp=0.01, n_shards=8,
+                                     freeze=False).cache()
+        rows = forest.collect()
+        assert all(r["family"] == "taffy_cuckoo" for r in rows)
+        blobs = {int(r["__shard"]): bytes(r["filter"]) for r in rows}
+        assert P._live_tcf_uniform(blobs)  # fast path eligible
+        found = probe_with_forest(keys, forest, "key") \
+            .where("maybe_seen").count()
+        assert found == n  # zero FN through the assembled path
+        via_fast = probe_with_forest(akeys, forest, "key") \
+            .where("maybe_seen").count()
+        grouped_collected = {(s,): ("taffy_cuckoo", b)
+                             for s, b in blobs.items()}
+        routed = with_shard(akeys, "key", 8)
+        via_grouped = P.probe_with_filters(
+            routed, forest, [SHARD_COL], "key",
+            _collected=grouped_collected).where("maybe_seen").count()
+        assert via_fast == via_grouped
+        forest.unpersist()
