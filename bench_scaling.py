@@ -461,17 +461,21 @@ slice cache-resident at any scale.
   ({8 * r32['filter_bytes'] / n:.2f} bits/key — same sizing the C
   model produces, integer-identical sizing math).
 
-## Single-thread kernel rates (round 2; in-process back-to-back
-## min-of-3 — absolute values swing up to ~7× with this sandbox's
-## CPU throttle, relative ratios are the stable signal)
+## Single-thread kernel rates (round 6, after cache-blocked kernels
+## and the lean Feistel path; in-process back-to-back min-of-3 —
+## absolute values swing up to ~7× with this sandbox's CPU throttle,
+## relative ratios are the stable signal)
 
 | kernel | this repo | ref (C, i7-7800X) | note |
 |---|---|---|---|
-| block insert | 130 ns/key @5M | 28.6 | see floor decomposition below |
-| block probe | 122 ns/key @5M | 86.5 | u64-lane gather + in-place AND |
+| block insert | 79 ns/key @5M (r2: 130) | 28.6 | 128k-lane tiling; see floor decomposition below |
+| block probe | 63 ns/key @5M (r2: 122) | 86.5 | beats C scalar; u64-lane gather + in-place AND, tiled |
 | TCF build (pre-sized) | ~0.7-0.9 µs/key @1M | 0.572 (HIBP, incl. growth) | batch walk |
 | TCF build (grown from 64 B) | ~0.73 µs/key @1M | — | pre-size-by-batch; 0.83× of pre-sized |
+| TCF probe (live) | ~108 ns/key @1M (r5: ~160) | 108 (HIBP) | lean path kernels — C parity |
+| frozen TCF probe | 66 ns/key | 70 | SWAR find |
 | MTCF bulk build | 1.3-2.1 µs/key @30k-1M | ~0.5-1 (est.) | was ~900 µs/key scalar |
+| MTCF probe | ~180 ns/key (r5: 410) | — | lean path-algebra kernel, 2.3× |
 | TCF absorb merge (16-way, 1M keys) | 2.8 µs/key | n/a (upstream union never upsizes) | zero FN, empty stash |
 
 ### Block-insert floor decomposition (why <60 ns/key is out of reach in numpy)
@@ -482,8 +486,16 @@ gather-OR-scatter 109; the correct `bitwise_or.at` kernel 130. The
 duplicate-safe scatter costs only +21 over the lossy RMW floor; the
 remaining gap to C is numpy having to materialize the (n,4) u64 mask
 matrix and int64 index vector that the C version keeps in SIMD
-registers per key. 130 ns/key is within 18% of the structural numpy
-floor for this memory-access pattern.
+registers per key. Round-6 cache blocking (128k-lane tiles) brought
+the full kernel to 79-86 ns/key by keeping those temporaries
+L2-resident; re-profiled at the tile level the split is ~35 ns
+mask+index and ~55 ns scatter. A round-6 alternating min-of-5 A/B
+also re-tested the scatter shape itself: one row-wise
+`bitwise_or.at(b64, idx, m64)` (85.7 vs 90.8 ns/key — current 4-lane
+form wins), winner-resolution rounds via last-writer-wins scatter
+(126 — loses), sort+reduceat (284 — loses). The remaining ~50 ns gap
+to C is the per-element `ufunc.at` dispatch, structural to numpy;
+the JVM `bit_or` engine is the scale path that bypasses it entirely.
 
 ## Round-4 reconciliation & route notes
 
@@ -529,6 +541,33 @@ floor for this memory-access pattern.
   `BENCH/bestmerge.json` — one clean rerun heals a throttled record,
   and a throttled record says so in-band instead of shipping phantom
   regressions.
+
+## Round-6 route notes
+
+- **Many-group merge: AQE was serializing it.** Stage decomposition of
+  the slowest bench row (`shuffle_grouped_semijoin_returned_parts`,
+  1000 groups — `tools/exp_merge_partitions.py`, `exp_merge_variants.py`)
+  found AQE size-coalescing the bare `repartition(*group_cols)` blob
+  exchange in the tree merge down to ~5 partitions (50 MB of KB-blobs),
+  serializing ~17k per-group Python merges; each group also yielded its
+  own 1-row Arrow batch. Fix: explicit partition count on the merge and
+  grouped-bitor-assembly shuffles + ONE accumulated output frame per
+  partition. 1000-group merge 9.1 → 1.7 s; the query's grouped build leg
+  9.8-11.7 → 2.4-2.7 s; full query 10.9 (prior best) → 4.25 s recorded.
+  Blobs byte-identical (same per-group sorted merge order). Tiny-build
+  check: an alternating min-of-3 A/B of pinned-32 vs
+  upstream-partition-capped counts on 12 five-group builds shows parity
+  (5.57 s both) — the pin does not tax the small-merge regime, so no
+  adaptive heuristic is warranted.
+- **Assembled LIVE-TCF forest probe** completes the assembled set
+  (block slices, single/multi-level TBF, frozen TCF, live TCF): at the
+  Arrow-batch shape the pipeline sees (65k-row batches / 64 shards →
+  ~1k keys per shard segment) the grouped route pays 258 vs the
+  assembled 129 ns/key (2.0×); full-batch kernels tie (~175 ns/key) —
+  the win is exactly the per-batch small-segment call overhead.
+  100M growth sweep: TCF probe 13.3 → 16.7 Mk/s (fpp bit-identical);
+  this scaling record's TCF/TBF-jvm probe rows also fold in the
+  assembled-route reruns.
 """)
 
 
