@@ -310,3 +310,47 @@ def test_assembled_frozen_tcf_forest_probe_parity(seed, n, n_shards,
     pv2 = P._FrozenTcfForestProbe.from_raw(n_shards, pv.to_raw())
     assert pv2 is not None
     assert np.array_equal(pv2.find(mixed, binary=False), expect)
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=SEEDS,
+       n=st.integers(min_value=50, max_value=6000),
+       n_shards=st.integers(min_value=2, max_value=12),
+       drop=st.integers(min_value=0, max_value=2))
+def test_assembled_live_tcf_forest_probe_parity(seed, n, n_shards,
+                                                drop):
+    """The assembled LIVE taffy-cuckoo forest probe must answer
+    bit-identically to per-shard TaffyCuckooFilter finds under ANY
+    shard count and missing-shard subset (tail-prefix semantics and
+    stash entries included), and the publisher image must round-trip.
+    When the forest is not uniform (a shard grew to a different
+    log_side_size), assemble must refuse (None), never mis-answer."""
+    import libfilter_spark.spark.probe as P
+    from libfilter_spark.kernels.keys import shard_of_keys
+
+    keys = _keys(n, seed)
+    sh = shard_of_keys(keys, n_shards, binary=False)
+    blobs, live = {}, {}
+    for s in range(n_shards):
+        f = TaffyCuckooFilter.create(max(64, n // n_shards))
+        ks = keys[sh == s]
+        if len(ks):
+            f.add_hashes(ks)
+        live[s], blobs[s] = f, f.serialize()
+    for s in range(min(drop, n_shards - 1)):
+        del blobs[n_shards - 1 - s]
+    pv = P._LiveTcfForestProbe.assemble(n_shards, blobs)
+    if pv is None:  # uneven growth made shards non-uniform: refusal
+        assert not P._live_tcf_uniform(blobs)
+        return
+    absent = _keys(2 * n, ~seed & 0xFFFFFFFF)[n:]
+    mixed = np.concatenate([keys, absent])
+    msh = shard_of_keys(mixed, n_shards, binary=False)
+    expect = np.zeros(len(mixed), dtype=bool)
+    for s in blobs:
+        m = msh == s
+        expect[m] = live[s].find_hashes(mixed[m])
+    assert np.array_equal(pv.find(mixed, binary=False), expect)
+    pv2 = P._LiveTcfForestProbe.from_raw(n_shards, pv.to_raw())
+    assert pv2 is not None
+    assert np.array_equal(pv2.find(mixed, binary=False), expect)
