@@ -1409,6 +1409,13 @@ def _probe_shard_frame(df: DataFrame, filters_df: DataFrame,
             collected = {(): ("tcf_set",
                               (int(p["n_shards"]), shard_blobs))}
             mode, kind = "global", "tcf_set"
+    # minimal_taffy_cuckoo forests deliberately stay on the grouped
+    # route: each shard's level geometry depends on its own cursor
+    # (which levels doubled) and per-side hi/lo permutations, so a
+    # shared-permutation concatenated matrix does not exist unless
+    # every shard grew in lockstep — and the measured headroom is
+    # small (100M sweep: MTCF grouped 14.3 Mk/s vs TCF assembled
+    # 16.7, BENCH/growth100m.json).
     if mode == "grouped":
         collected = {(int(r["__shard"]),): (r["family"],
                                             bytes(r["filter"]))
