@@ -836,3 +836,62 @@ def test_grouped_partials_build_keeps_null_group(spark):
     probed = probe_with_filters(keys, filters, ["g"])
     n_true = probed.where("maybe_seen").count()
     assert n_true == 4_000  # zero FN on non-null groups; null rows False
+
+
+def test_truncated_live_tcf_published_state_falls_back():
+    """The tcf_set assembled kind: a truncated/garbage published file
+    must be rejected by the attacher (from_raw exact-size check), the
+    worker republishes correct state, and a clean published image
+    attaches with answers identical to private assembly."""
+    import os
+    import uuid
+
+    import numpy as np
+    import pytest as _pytest
+
+    if not os.path.isdir("/dev/shm"):
+        _pytest.skip("no /dev/shm")
+    import libfilter_spark.spark.probe as P
+    from libfilter_spark.filters import TaffyCuckooFilter
+    from libfilter_spark.kernels.keys import shard_of_keys, splitmix64
+
+    keys = splitmix64(20_000, seed=13)
+    absent = splitmix64(40_000, seed=13)[20_000:]
+
+    class FakeBC:
+        def __init__(self, token, fmap):
+            self.value = (token, fmap)
+
+    n_sh = 4
+    shards = shard_of_keys(keys, n_sh, binary=False)
+    blobs = {}
+    for s in range(n_sh):
+        f = TaffyCuckooFilter.create(8_000)
+        f.add_hashes(keys[shards == s])
+        blobs[s] = f.serialize()
+    ref = P._LiveTcfForestProbe.assemble(n_sh, blobs)
+    token = uuid.uuid4().hex
+    meta = {"token": token, "kind": "tcf_set", "n_shards": n_sh}
+    path = P._asm_path(token, "tcf_set")
+    try:
+        np.zeros(9, dtype=np.uint8).tofile(path)  # truncated garbage
+        assert P._attach_assembled(meta) is None
+        P._FILTER_CACHE.clear()
+        got = P._materialize(
+            FakeBC(token, {(): ("tcf_set", (n_sh, blobs))}), meta)[()]
+        assert got.find(keys, binary=False).all()
+        assert np.array_equal(got.find(absent, binary=False),
+                              ref.find(absent, binary=False))
+        # republished correct image now attaches (fresh worker path)
+        P._FILTER_CACHE.clear()
+        att = P._attach_assembled(meta)
+        assert att is not None
+        assert np.array_equal(att.find(absent, binary=False),
+                              ref.find(absent, binary=False))
+    finally:
+        P._FILTER_CACHE.clear()
+        for pth in (path, path + ".lock"):
+            try:
+                os.unlink(pth)
+            except OSError:
+                pass
