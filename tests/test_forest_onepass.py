@@ -562,3 +562,53 @@ def test_assembled_live_tcf_probe_matches_grouped(spark):
             _collected=grouped_collected).where("maybe_seen").count()
         assert via_fast == via_grouped
         forest.unpersist()
+
+
+def test_live_tcf_nonuniform_forest_falls_back_grouped(spark):
+    """A live TCF forest whose shards sit at DIFFERENT log_side_sizes
+    is not eligible for the assembled route and must fall back to the
+    grouped per-shard probe — still zero FN. Non-uniformity is forced
+    by rebuilding one shard at a larger size with the SAME keys
+    (membership preserved, geometry diverged)."""
+    import numpy as np
+    import pandas as pd
+
+    import libfilter_spark.spark.probe as P
+    from libfilter_spark.filters import TaffyCuckooFilter
+    from libfilter_spark.kernels.keys import shard_of_keys, to_unsigned
+    from libfilter_spark.spark.forest import build_filter_forest, \
+        probe_with_forest
+    from libfilter_spark.spark.keys import with_content_key_bin
+    n, n_sh = 40_000, 7
+    df = spark.range(n).withColumn("content", F.col("id").cast("string"))
+    keys = with_content_key_bin(df, "content").select("key").cache()
+    forest = build_filter_forest(keys, "key", "taffy_cuckoo",
+                                 ndv=n, fpp=0.01, n_shards=n_sh,
+                                 freeze=False)
+    rows = [r.asDict() for r in forest.collect()]
+    # rebuild shard 0 at 8x the size with ITS OWN keys: same members,
+    # different log_side_size => assembled route must refuse
+    kd = keys.toPandas()["key"]
+    karr = to_unsigned(np.frombuffer(b"".join(kd), dtype=">u8")
+                       .astype(np.uint64))
+    # binary=True: the forest routes binary key columns by
+    # xxhash64(bytes), not xxhash64(long) — must match the build
+    sh = shard_of_keys(karr, n_sh, binary=True)
+    big = TaffyCuckooFilter.create(8 * n)
+    big.add_hashes(karr[sh == 0])
+    for r in rows:
+        if int(r["__shard"]) == 0:
+            r["filter"] = bytearray(big.serialize())
+    blobs = {int(r["__shard"]): bytes(r["filter"]) for r in rows}
+    logs = {TaffyCuckooFilter.deserialize(b).log_side_size
+            for b in blobs.values()}
+    assert len(logs) > 1          # geometry actually diverged
+    assert not P._live_tcf_uniform(blobs)
+    assert P._LiveTcfForestProbe.assemble(n_sh, blobs) is None
+    forest2 = spark.createDataFrame(
+        pd.DataFrame([{**r, "filter": bytes(r["filter"])}
+                      for r in rows]), forest.schema)
+    found = probe_with_forest(keys, forest2, "key") \
+        .where("maybe_seen").count()
+    assert found == n             # zero FN through the grouped fallback
+    keys.unpersist()
