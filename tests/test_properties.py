@@ -354,3 +354,53 @@ def test_assembled_live_tcf_forest_probe_parity(seed, n, n_shards,
     pv2 = P._LiveTcfForestProbe.from_raw(n_shards, pv.to_raw())
     assert pv2 is not None
     assert np.array_equal(pv2.find(mixed, binary=False), expect)
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=SEEDS,
+       n_nodes=st.integers(min_value=1, max_value=200),
+       n_edges=st.integers(min_value=0, max_value=400))
+def test_driver_union_find_matches_bfs(seed, n_nodes, n_edges):
+    """The near-dup clustering driver fast path (union-find with path
+    compression, min-id labels) must agree with an independent BFS
+    connected-components reference on arbitrary random graphs —
+    self-loops, duplicate edges, and hubs included."""
+    import random
+
+    from libfilter_spark.functions.dedup import _driver_union_find
+
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+             for _ in range(n_edges)]
+
+    class FakeSpark:
+        def createDataFrame(self, pdf, schema=None):
+            return pdf   # the property only needs the rows
+
+    got = _driver_union_find(FakeSpark(), edges)
+    if not n_edges:
+        assert not len(got)
+        return
+    labels = dict(zip(got["id"], got["cluster_id"]))
+    # BFS reference
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    seen: set = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        seen.add(start)
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        lbl = min(comp)
+        for x in comp:
+            assert labels[x] == lbl
+    assert set(labels) == set(adj)   # exactly the touched nodes
