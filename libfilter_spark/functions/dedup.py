@@ -448,10 +448,13 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
 
 # --- near-dup clustering / keep-one ---------------------------------------
 
-def _driver_union_find(spark, edge_rows) -> DataFrame:
+def _driver_union_find(spark, edge_rows, id_type) -> DataFrame:
     """Union-find with path compression over a collected edge list;
     labels = min member id per component (same contract as the
-    distributed route). Bounded by the near_dup_clusters edge budget."""
+    distributed route). Bounded by the near_dup_clusters edge budget.
+    The result schema is pinned to the input id type (pandas type
+    inference would widen e.g. int32 ids to LongType and diverge from
+    the distributed route's schema)."""
     parent: dict = {}
 
     def find(x):
@@ -475,11 +478,10 @@ def _driver_union_find(spark, edge_rows) -> DataFrame:
             parent[hi] = lo
     ids = list(parent)
     labels = [find(i) for i in ids]
-    pdf = pd.DataFrame({"id": ids, "cluster_id": labels})
-    if not len(pdf):
-        return spark.createDataFrame(
-            [], schema="id string, cluster_id string")
-    return spark.createDataFrame(pdf)
+    schema = StructType([StructField("id", id_type),
+                         StructField("cluster_id", id_type)])
+    return spark.createDataFrame(
+        list(zip(ids, labels)), schema=schema)
 
 
 def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
@@ -521,11 +523,18 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
     pairs = pairs.cache()   # the edge union reads it twice; without
     # this the whole upstream candidate pipeline recomputes per select
     if driver_max_edges > 0:
+        # null-id edges are dropped to mirror the distributed route
+        # (F.min silently skips nulls there; a null would raise at the
+        # union-find's < comparison)
         head = pairs.select(F.col(id_a).alias("u"),
                             F.col(id_b).alias("v")) \
+            .where(F.col(id_a).isNotNull() & F.col(id_b).isNotNull()) \
             .limit(driver_max_edges + 1).collect()
         if head and len(head) <= driver_max_edges:
-            return _driver_union_find(pairs.sparkSession, head)
+            out = _driver_union_find(pairs.sparkSession, head,
+                                     pairs.schema[id_a].dataType)
+            pairs.unpersist()
+            return out
         # (an EMPTY edge list also falls through: the distributed
         # route derives the empty labels frame with the input's id
         # type, which the driver route cannot recover from zero rows)

@@ -23,6 +23,7 @@ per group via ``applyInPandas``.
 from __future__ import annotations
 
 import json
+import os
 from typing import Iterator
 
 import numpy as np
@@ -103,6 +104,20 @@ def select_build_strategy(family: str, grouped: bool, ndv: int,
     return "partials"
 
 
+# Scale-adaptive build plumbing (round 7, guide §2.2/§2.4): the
+# partial-widening repartition and the two-level content-bucketed
+# merge tree exist for HEAVY builds (MB-GB filters × many tasks); for
+# small filters they are pure overhead — a 96 KB global build measured
+# 1.38 s through the widen + tree vs 0.24 s of actual build work. Both
+# route on the PLAN-TIME size estimate (estimate_filter_bytes), so the
+# decision is scale-adaptive, not a local-mode constant: a cluster
+# with defaultParallelism in the thousands crosses the threshold at
+# proportionally smaller per-partial sizes.
+_WIDEN_MIN_BYTES = int(os.environ.get("LIBFILTER_WIDEN_MIN", 1 << 20))
+_SMALL_MERGE_MAX = int(os.environ.get("LIBFILTER_SMALL_MERGE_MAX",
+                                      64 << 20))
+
+
 def _keys_from_series(s: pd.Series) -> np.ndarray:
     """LongType (int64) or 8-byte binary series → uint64 keys."""
     if s.dtype == object:  # binary
@@ -168,17 +183,23 @@ def build_filters(df: DataFrame, group_cols: list[str] | None,
 
     params = json.dumps({"ndv": int(ndv), "fpp": float(fpp)})
     proj = df.select(*group_cols, key_col)
+    est_bytes = estimate_filter_bytes(family, ndv, fpp)
     # a small parquet scan (or a coalesced cache) can arrive in fewer
     # partitions than the box has cores, strangling the Python build
     # stage — a 3-split input measured 13 s where 32 splits take ~1 s.
     # At warehouse scale input splits >> cores, so this never fires.
-    try:
-        nparts = proj.rdd.getNumPartitions()
-        target = proj.sparkSession.sparkContext.defaultParallelism
-        if nparts < target:
-            proj = proj.repartition(target)
-    except Exception:
-        pass  # streaming plans have no static partitioning to widen
+    # Only HEAVY builds (est ≥ _WIDEN_MIN_BYTES, i.e. ≥ ~100k keys)
+    # are widened: for a KB-filter build the extra shuffle plus the
+    # cores-wide Python stage cost more than the insert they
+    # parallelize (measured ~0.3 s per query at sf0.1).
+    if est_bytes >= _WIDEN_MIN_BYTES:
+        try:
+            nparts = proj.rdd.getNumPartitions()
+            target = proj.sparkSession.sparkContext.defaultParallelism
+            if nparts < target:
+                proj = proj.repartition(target)
+        except Exception:
+            pass  # streaming plans have no static partitioning to widen
     partial_schema = _result_schema(proj, group_cols)
 
     if not group_cols:
@@ -213,7 +234,8 @@ def build_filters(df: DataFrame, group_cols: list[str] | None,
             arrow_partials,
             schema="family string, params string, n_keys long, "
                    "n_partials long, filter binary")
-        return merge_filter_blobs(partials, group_cols)
+        return merge_filter_blobs(partials, group_cols,
+                                  est_bytes=est_bytes)
 
     def partial_builder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[tuple, object] = {}
@@ -278,11 +300,12 @@ def build_filters(df: DataFrame, group_cols: list[str] | None,
             yield pd.DataFrame(rows)
 
     partials = proj.mapInPandas(partial_builder, schema=partial_schema)
-    return merge_filter_blobs(partials, group_cols)
+    return merge_filter_blobs(partials, group_cols, est_bytes=est_bytes)
 
 
 def merge_filter_blobs(partials: DataFrame, group_cols: list[str],
-                       fanin: int = 16) -> DataFrame:
+                       fanin: int = 16,
+                       est_bytes: int | None = None) -> DataFrame:
     """Merge of partial filter rows → one row per group, as a TWO-LEVEL
     tree: partials first merge inside ``fanin`` deterministic buckets
     (bucket = xxhash64(blob) mod fanin, so the tree shape is a pure
@@ -298,8 +321,27 @@ def merge_filter_blobs(partials: DataFrame, group_cols: list[str],
     the bucketing is content-derived — so OR-merge families stay
     byte-identical under any scheduling (the associativity contract);
     TCF union remains probe-equivalent.
+
+    ``est_bytes`` (the caller's plan-time per-partial size estimate)
+    routes SMALL merges — est × defaultParallelism within
+    $LIBFILTER_SMALL_MERGE_MAX (64 MB default) — onto single-level
+    plans: one 1-partition exchange + one Python task for a global
+    merge, one grouped exchange + per-partition Python loop for
+    grouped merges. The tree exists for tasks × MB-GB partial volumes;
+    below the threshold its extra exchange and cores-wide Python
+    stages dominate the work (a 5-group KB-blob merge measured ~128
+    Python tasks through the tree). Results are identical: the same
+    sorted-blob ``merge_rows`` runs either way, so OR families stay
+    byte-identical and TCF stays probe-equivalent.
     """
     schema = partials.schema
+    small = False
+    if est_bytes is not None:
+        try:
+            par = partials.sparkSession.sparkContext.defaultParallelism
+        except Exception:
+            par = 32
+        small = est_bytes * max(par, 1) <= _SMALL_MERGE_MAX
 
     def merge_rows(pdf: pd.DataFrame) -> pd.DataFrame:
         fam = pdf["family"].iloc[0]
@@ -338,6 +380,19 @@ def merge_filter_blobs(partials: DataFrame, group_cols: list[str],
         out["n_partials"] = [int(pdf["n_partials"].sum())]
         out["filter"] = [acc.serialize()]
         return pd.DataFrame(out)
+
+    if small and not group_cols:
+        # single-level global merge: every partial row (≤ tasks × est
+        # bytes, under the threshold by construction) moves through one
+        # 1-partition exchange into ONE merge task — no __mb level, no
+        # cores-wide Python stage
+        def merge_flat(batches):
+            pdfs = [p for p in batches if len(p)]
+            if not pdfs:
+                return
+            yield merge_rows(pd.concat(pdfs, ignore_index=True))
+        return partials.repartition(1).mapInPandas(merge_flat,
+                                                   schema=schema)
 
     bucket = F.pmod(F.xxhash64("filter"), F.lit(fanin)).alias("__mb")
     level1_in = partials.select("*", bucket)
@@ -388,6 +443,15 @@ def merge_filter_blobs(partials: DataFrame, group_cols: list[str],
                 yield pd.concat(outs, ignore_index=True)
             return merge_local
 
+        if small:
+            # single-level grouped merge: per-group partial volume is
+            # bounded by tasks × est bytes (under the threshold), so
+            # one task per group suffices — skip the __mb fan-in level
+            # (its exchange + cores-wide Python stage cost more than
+            # the merges below the threshold)
+            return partials.repartition(nparts, *group_cols) \
+                .mapInPandas(_merge_local(list(group_cols), False),
+                             schema=schema)
         level1 = level1_in.repartition(nparts, *l1_keys) \
             .mapInPandas(_merge_local(l1_keys, True), schema=l1_schema)
         return level1.drop("__mb").repartition(nparts, *group_cols) \

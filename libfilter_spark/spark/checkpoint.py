@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (BinaryType, DoubleType, LongType, StringType,
                                StructField, StructType)
 
-from .build import create_filter, merge_filter_blobs
+from .build import create_filter, estimate_filter_bytes, merge_filter_blobs
 
 SALT_COL = "__salt"
 
@@ -152,7 +152,7 @@ def checkpointed_build(spark: SparkSession, df: DataFrame,
     return merge_filter_blobs(
         all_partials.select(*group_cols, "family", "params", "n_keys",
                             "n_partials", "filter"),
-        group_cols)
+        group_cols, est_bytes=estimate_filter_bytes(family, ndv, fpp))
 
 
 def checkpoint_metrics(spark: SparkSession,

@@ -13,6 +13,7 @@ turns a 100 TB shuffle into a few-GB shuffle.
 from __future__ import annotations
 
 import os
+import threading
 
 import numpy as np
 import pandas as pd
@@ -21,6 +22,12 @@ from pyspark.sql import functions as F
 
 from ..filters import FAMILIES
 from .build import _keys_from_series
+
+# one lock guards every module-level cache below: driver-side queries
+# fan out over ThreadPoolExecutor (fpp conformance, merge audits), so
+# two threads can otherwise race the same pop(next(iter(d))) eviction
+# (KeyError) or double-broadcast one content token
+_CACHE_LOCK = threading.Lock()
 
 # executor-local cache: broadcast token → {group: filter object}.
 # Keyed by an explicit uuid shipped inside the broadcast value (NOT
@@ -478,6 +485,11 @@ class _FrozenTcfForestProbe:
             per[s] = f
         if log is None:
             return None
+        if (n_shards - 1).bit_length() + log + HEAD > 64:
+            # stash codes pack (shard << (log+HEAD)) | path into one
+            # u64 — an overflow would alias shards; fall back to the
+            # grouped route (unreachable for realistic forests)
+            return None
         nb = 1 << log
         data = [np.zeros(n_shards * nb, dtype=np.uint64)
                 for _ in range(2)]
@@ -608,6 +620,11 @@ class _LiveTcfForestProbe:
                 return None
             per[s] = f
         if log is None:
+            return None
+        if (n_shards - 1).bit_length() + log + HEAD > 64:
+            # stash codes pack (shard << (log+HEAD)) | path into one
+            # u64 — an overflow would alias shards; fall back to the
+            # grouped route (unreachable for realistic forests)
             return None
         nb = 1 << log
         data = [np.zeros((n_shards * nb, SLOTS), dtype=np.uint16)
@@ -1050,9 +1067,10 @@ def _publish_assembled(asm_meta: dict, build_fn):
 
 
 def _filter_cache_put(token: str, cached: dict) -> None:
-    while len(_FILTER_CACHE) >= _FILTER_CACHE_MAX:
-        _FILTER_CACHE.pop(next(iter(_FILTER_CACHE)))
-    _FILTER_CACHE[token] = cached
+    with _CACHE_LOCK:
+        while len(_FILTER_CACHE) >= _FILTER_CACHE_MAX:
+            _FILTER_CACHE.pop(next(iter(_FILTER_CACHE)), None)
+        _FILTER_CACHE[token] = cached
 
 
 def _asm_build_from_map(filter_map: dict):
@@ -1240,7 +1258,8 @@ def probe_with_filters(df: DataFrame, filters_df: DataFrame,
             fp_key = (df.sparkSession.sparkContext.applicationId,
                       "groupfp", int(agg["n"]), int(agg["h"]),
                       int(agg["l"]))
-            bc = _GROUPED_PROBE_CACHE.get(fp_key)
+            with _CACHE_LOCK:
+                bc = _GROUPED_PROBE_CACHE.get(fp_key)
             if bc is not None:
                 return _broadcast_probe_udf(df, bc, group_cols,
                                             key_col, result_col)
@@ -1255,9 +1274,11 @@ def probe_with_filters(df: DataFrame, filters_df: DataFrame,
                                       key_col, result_col)
     bc = _get_bc(df.sparkSession, filter_map)
     if fp_key is not None:
-        while len(_GROUPED_PROBE_CACHE) >= _BC_CACHE_MAX:
-            _GROUPED_PROBE_CACHE.pop(next(iter(_GROUPED_PROBE_CACHE)))
-        _GROUPED_PROBE_CACHE[fp_key] = bc
+        with _CACHE_LOCK:
+            while len(_GROUPED_PROBE_CACHE) >= _BC_CACHE_MAX:
+                _GROUPED_PROBE_CACHE.pop(
+                    next(iter(_GROUPED_PROBE_CACHE)), None)
+            _GROUPED_PROBE_CACHE[fp_key] = bc
     return _broadcast_probe_udf(df, bc, group_cols, key_col, result_col)
 
 
@@ -1272,15 +1293,20 @@ def _get_bc(spark, filter_map: dict, token: str | None = None):
         token = _content_token(filter_map)
     sc = spark.sparkContext
     cache_key = (sc.applicationId, token)
-    bc = _BC_CACHE.get(cache_key)
+    with _CACHE_LOCK:
+        bc = _BC_CACHE.get(cache_key)
     if bc is None:
         bc = sc.broadcast((token, filter_map))
-        while len(_BC_CACHE) >= _BC_CACHE_MAX:
-            # drop OUR reference only — plans still holding the evicted
-            # broadcast keep it alive; ContextCleaner reclaims it when
-            # the last reference goes
-            _BC_CACHE.pop(next(iter(_BC_CACHE)))
-        _BC_CACHE[cache_key] = bc
+        with _CACHE_LOCK:
+            hit = _BC_CACHE.get(cache_key)
+            if hit is not None:
+                return hit  # raced another thread: reuse its broadcast
+            while len(_BC_CACHE) >= _BC_CACHE_MAX:
+                # drop OUR reference only — plans still holding the
+                # evicted broadcast keep it alive; ContextCleaner
+                # reclaims it when the last reference goes
+                _BC_CACHE.pop(next(iter(_BC_CACHE)), None)
+            _BC_CACHE[cache_key] = bc
     return bc
 
 
@@ -1341,7 +1367,8 @@ def _probe_shard_frame(df: DataFrame, filters_df: DataFrame,
                                       key_col, result_col).drop("__shard")
         fp_key = (spark.sparkContext.applicationId, "shardfp",
                   int(agg["n"]), int(agg["h"]), int(agg["l"]))
-        hit = _SHARD_PROBE_CACHE.get(fp_key)
+        with _CACHE_LOCK:
+            hit = _SHARD_PROBE_CACHE.get(fp_key)
         if hit is not None:
             mode, bc, p, asm_meta = hit
             return _probe_from_bc(df, bc, mode, p, key_col, result_col,
@@ -1434,9 +1461,11 @@ def _probe_shard_frame(df: DataFrame, filters_df: DataFrame,
             asm_meta["bytes"] = int(p["num_buckets"]) * 32
     bc = _get_bc(spark, collected, token)
     if fp_key is not None:
-        while len(_SHARD_PROBE_CACHE) >= _BC_CACHE_MAX:
-            _SHARD_PROBE_CACHE.pop(next(iter(_SHARD_PROBE_CACHE)))
-        _SHARD_PROBE_CACHE[fp_key] = (mode, bc, p, asm_meta)
+        with _CACHE_LOCK:
+            while len(_SHARD_PROBE_CACHE) >= _BC_CACHE_MAX:
+                _SHARD_PROBE_CACHE.pop(
+                    next(iter(_SHARD_PROBE_CACHE)), None)
+            _SHARD_PROBE_CACHE[fp_key] = (mode, bc, p, asm_meta)
     return _probe_from_bc(df, bc, mode, p, key_col, result_col, asm_meta)
 
 

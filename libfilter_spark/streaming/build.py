@@ -70,8 +70,10 @@ def stream_build_filters(stream_df: DataFrame, group_cols: list[str] | None,
                                       strategy="partials")
         prev = read_state(spark, state_dir)
         if prev is not None:
+            from ..spark.build import estimate_filter_bytes
             merged = merge_filter_blobs(
-                prev.unionByName(batch_filters), group_cols)
+                prev.unionByName(batch_filters), group_cols,
+                est_bytes=estimate_filter_bytes(family, ndv, fpp))
         else:
             merged = batch_filters
         # materialize before overwrite (state read+write in one plan)

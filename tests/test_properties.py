@@ -373,15 +373,17 @@ def test_driver_union_find_matches_bfs(seed, n_nodes, n_edges):
     edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
              for _ in range(n_edges)]
 
-    class FakeSpark:
-        def createDataFrame(self, pdf, schema=None):
-            return pdf   # the property only needs the rows
+    from pyspark.sql.types import LongType
 
-    got = _driver_union_find(FakeSpark(), edges)
+    class FakeSpark:
+        def createDataFrame(self, rows, schema=None):
+            return rows   # the property only needs the rows
+
+    got = _driver_union_find(FakeSpark(), edges, LongType())
     if not n_edges:
         assert not len(got)
         return
-    labels = dict(zip(got["id"], got["cluster_id"]))
+    labels = dict(got)
     # BFS reference
     adj: dict = {}
     for u, v in edges:
