@@ -451,15 +451,29 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
        UNION SELECT c_custkey FROM customer)) AS n_union
     """)
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass instead of three: INTERSECT/EXCEPT/UNION-distinct over
+    the same two key sets are all views of one full-outer join of the
+    distinct sides, so a single job computes all three counts (the old
+    shape ran three actions over ~6 shuffles). eqNullSafe matches the
+    set operators' NULL-equals-NULL semantics exactly."""
     orders = load_table(spark, sf_dir, "orders") \
-        .select(F.col("o_custkey").alias("k"))
+        .select(F.col("o_custkey").alias("k")).distinct() \
+        .withColumn("__o", F.lit(1))
     customer = load_table(spark, sf_dir, "customer") \
-        .select(F.col("c_custkey").alias("k"))
-    n_i = orders.intersect(customer).count()
-    n_e = customer.exceptAll(orders).dropDuplicates().count()
-    n_u = orders.union(customer).dropDuplicates().count()
+        .select(F.col("c_custkey").alias("ck")).distinct() \
+        .withColumn("__c", F.lit(1))
+    j = orders.join(customer, F.col("k").eqNullSafe(F.col("ck")), "full")
+    row = j.agg(
+        F.sum((F.col("__o").isNotNull()
+               & F.col("__c").isNotNull()).cast("long"))
+        .alias("n_intersect"),
+        F.sum((F.col("__c").isNotNull()
+               & F.col("__o").isNull()).cast("long"))
+        .alias("n_customers_no_orders"),
+        F.count(F.lit(1)).alias("n_union")).collect()[0]
     return spark.createDataFrame(
-        [(n_i, n_e, n_u)],
+        [(row["n_intersect"], row["n_customers_no_orders"],
+          row["n_union"])],
         "n_intersect long, n_customers_no_orders long, n_union long")
 
 
@@ -675,7 +689,13 @@ def q_cms_within_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 def q_quantiles_within_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL and t-digest over lineitem extended prices: each estimated
-    quantile's true rank must be within 0.03 of its target."""
+    quantile's true rank must be within 0.03 of its target. The two
+    sketch builds are independent jobs (thread-submitted, guide §2.6)
+    and all six rank checks fold into ONE aggregation pass — the
+    previous shape paid 6 separate filtered count() scans plus a
+    count() for the total (9 jobs over lineitem)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pandas as pd
 
     from libfilter_spark.sketches import KLLSketch, TDigest
@@ -683,19 +703,28 @@ def q_quantiles_within_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("v"))
-    kll_df = build_sketches(li, None, "v", kind="kll", k=200)
-    td_df = build_sketches(li, None, "v", kind="tdigest", delta=100.0)
-    kll = KLLSketch.deserialize(bytes(kll_df.collect()[0]["sketch"]))
-    td = TDigest.deserialize(bytes(td_df.collect()[0]["sketch"]))
-    total = li.count()
-    out = []
-    for name, sk in (("kll", kll), ("tdigest", td)):
-        oks = []
-        for q in (0.25, 0.50, 0.99):
-            est = sk.quantile(q)
-            rank = li.where(F.col("v") <= est).count() / total
-            oks.append(bool(abs(rank - q) <= 0.03))
-        out.append((name, *oks))
+
+    def build(kind, cls, **params):
+        df = build_sketches(li, None, "v", kind=kind, **params)
+        return cls.deserialize(bytes(df.collect()[0]["sketch"]))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        kll_f = ex.submit(build, "kll", KLLSketch, k=200)
+        td_f = ex.submit(build, "tdigest", TDigest, delta=100.0)
+        kll, td = kll_f.result(), td_f.result()
+    qs = (0.25, 0.50, 0.99)
+    ests = [(name, q, sk.quantile(q))
+            for name, sk in (("kll", kll), ("tdigest", td)) for q in qs]
+    aggs = [F.count(F.lit(1)).alias("total")]
+    aggs += [F.sum((F.col("v") <= F.lit(est)).cast("long"))
+             .alias(f"r{i}") for i, (_, _, est) in enumerate(ests)]
+    row = li.agg(*aggs).collect()[0]
+    total = row["total"]
+    ranks = {(name, q): row[f"r{i}"] / total
+             for i, (name, q, _) in enumerate(ests)}
+    out = [(name, *[bool(abs(ranks[(name, q)] - q) <= 0.03)
+                    for q in qs])
+           for name in ("kll", "tdigest")]
     return spark.createDataFrame(pd.DataFrame(
         out, columns=["sketch", "q25_ok", "q50_ok", "q99_ok"]))
 
@@ -1129,8 +1158,14 @@ def q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from libfilter_spark.spark.sketch_build import build_sketches
 
-    docs = with_content_key(load_table(spark, sf_dir, "documents"),
-                            "text").cache()
+    # cache ONLY the (lang, key) projection: the 12 legs re-shuffle
+    # their input per partitioning, and the build consumes nothing
+    # else — shuffling the full documents frame (text included) 12
+    # times was pure exchange weight (guide §2.3: project before the
+    # exchange)
+    docs = (with_content_key(load_table(spark, sf_dir, "documents"),
+                             "text")
+            .select("lang", "key").cache())
     docs.count()   # 12 legs re-read the cache, not 12 sha passes
 
     # the 12 (family, partitioning) legs are independent Spark jobs;
@@ -1175,26 +1210,18 @@ def q_frozen_tcf(spark: SparkSession, sf_dir: str) -> DataFrame:
     taffy-cuckoo.c:127-160) and broadcast-probe with it. Oracle-checked:
     freezing preserves zero false negatives (n_found == n_docs) and
     always shrinks the blob (tails dropped); the raw byte sizes are
-    partition-dependent so only the invariant is reported."""
-    import pandas as pd
-
-    from libfilter_spark.filters import TaffyCuckooFilter
+    partition-dependent so only the invariant is reported. The freeze
+    runs DISTRIBUTED (spark/forest.py freeze_filters) — blobs never
+    loop through the driver (the round-6 driver-side freeze was both
+    the r5→r6 regression and a scale wall at many groups); the frame
+    is cached because the probe collect and the invariant join both
+    read it."""
+    from libfilter_spark.spark.forest import freeze_filters
 
     docs = with_content_key(load_table(spark, sf_dir, "documents"), "text")
     filters = build_filters(docs, ["lang"], family="taffy_cuckoo",
                             ndv=512, fpp=0.01)
-    rows = filters.collect()
-    frozen_rows = []
-    for r in rows:
-        tcf = TaffyCuckooFilter.deserialize(bytes(r["filter"]))
-        fr = tcf.freeze()
-        frozen_rows.append((r["lang"], "frozen_taffy_cuckoo", r["params"],
-                            r["n_keys"], r["n_partials"], fr.serialize(),
-                            len(bytes(r["filter"])), len(fr.serialize())))
-    frozen_df = spark.createDataFrame(
-        pd.DataFrame(frozen_rows, columns=[
-            "lang", "family", "params", "n_keys", "n_partials", "filter",
-            "thawed_bytes", "frozen_bytes"]))
+    frozen_df = freeze_filters(filters, keep_sizes=True).cache()
     probed = probe_with_filters(
         docs, frozen_df.select("lang", "family", "params", "n_keys",
                                "n_partials", "filter"), ["lang"])

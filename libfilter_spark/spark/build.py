@@ -448,8 +448,14 @@ def merge_filter_blobs(partials: DataFrame, group_cols: list[str],
             # bounded by tasks × est bytes (under the threshold), so
             # one task per group suffices — skip the __mb fan-in level
             # (its exchange + cores-wide Python stage cost more than
-            # the merges below the threshold)
-            return partials.repartition(nparts, *group_cols) \
+            # the merges below the threshold). The partition count is
+            # UNPINNED here on purpose: per-task merge cost in this
+            # regime scales with bytes (the partition-local pandas
+            # loop), not per-group Python calls, so AQE coalescing the
+            # KB-blob exchange down to a task or two is the right
+            # outcome — the pinned count stays reserved for the heavy
+            # tree where coalescing serialized MB-blob merges.
+            return partials.repartition(*group_cols) \
                 .mapInPandas(_merge_local(list(group_cols), False),
                              schema=schema)
         level1 = level1_in.repartition(nparts, *l1_keys) \

@@ -368,6 +368,59 @@ def _build_tbf_forest_jvm(df: DataFrame, key_col: str, n_shards: int,
     return agg.mapInArrow(assemble, schema=schema)
 
 
+def freeze_filters(filters_df: DataFrame,
+                   keep_sizes: bool = False) -> DataFrame:
+    """Distributed freeze of a taffy_cuckoo filters frame: each task
+    flips its rows' blobs to the frozen SWAR form
+    (``taffy-cuckoo.c:127-160``) and the family column follows, so
+    probes deserialize the right class per row. No driver loop — the
+    blobs never leave the executors (the old per-row driver freeze was
+    the round-6 regression and a scale wall at many groups).
+
+    ``keep_sizes=True`` appends ``thawed_bytes``/``frozen_bytes``
+    columns (the freeze-shrinks invariant audited by
+    ``frozen_tcf_broadcast_probe``). Non-TCF rows pass through
+    unchanged (sizes equal)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField
+
+    from ..filters import FAMILIES
+
+    schema = StructType(list(filters_df.schema.fields))
+    if keep_sizes:
+        schema = StructType(schema.fields
+                            + [StructField("thawed_bytes", LongType()),
+                               StructField("frozen_bytes", LongType())])
+
+    def freeze_rows(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            thawed, frozen, fams, blobs = [], [], [], []
+            for fam, blob in zip(pdf["family"], pdf["filter"]):
+                blob = bytes(blob)
+                thawed.append(len(blob))
+                if fam == "taffy_cuckoo":
+                    fr = FAMILIES[fam].deserialize(blob) \
+                        .freeze().serialize()
+                    fams.append("frozen_taffy_cuckoo")
+                    blobs.append(fr)
+                    frozen.append(len(fr))
+                else:
+                    fams.append(fam)
+                    blobs.append(blob)
+                    frozen.append(len(blob))
+            out = pdf.copy()
+            out["family"] = fams
+            out["filter"] = blobs
+            if keep_sizes:
+                out["thawed_bytes"] = pd.Series(thawed, dtype="int64")
+                out["frozen_bytes"] = pd.Series(frozen, dtype="int64")
+            yield out
+
+    return filters_df.mapInPandas(freeze_rows, schema=schema)
+
+
 def probe_with_forest(df: DataFrame, forest_df: DataFrame,
                       key_col: str = "key",
                       result_col: str = "maybe_seen") -> DataFrame:

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
                                StructType)
 
-from .build import _keys_from_series
+from .build import _SMALL_MERGE_MAX, _keys_from_series
 from ..sketches import SKETCHES
 
 _KEY_SKETCHES = {"hll", "countmin"}
@@ -25,6 +25,23 @@ _KEY_SKETCHES = {"hll", "countmin"}
 
 def _create(kind: str, params: dict):
     return SKETCHES[kind].create(**params)
+
+
+def estimate_sketch_bytes(kind: str, params: dict) -> int:
+    """Rough serialized-size upper bound per sketch — routing-grade
+    fidelity only (mirrors build.estimate_filter_bytes): HLL is one
+    byte per register, CMS depth×width u64 counters, KLL/t-digest a
+    few KB of buffers/centroids at default parameters."""
+    if kind == "hll":
+        return (1 << int(params.get("p", 14))) + 64
+    if kind == "countmin":
+        return (int(params.get("depth", 5))
+                * int(params.get("width", 2048)) * 8 + 64)
+    if kind == "kll":
+        return int(params.get("k", 200)) * 8 * 16 + 64
+    if kind == "tdigest":
+        return int(params.get("delta", 100.0)) * 8 * 16 + 64
+    return 1 << 20
 
 
 def _values(kind: str, s: pd.Series):
@@ -98,6 +115,43 @@ def build_sketches(df: DataFrame, group_cols: list[str] | None,
         out["sketch"] = [acc.serialize()]
         return pd.DataFrame(out)
 
+    # small-merge routing (round 7, mirrors build.merge_filter_blobs):
+    # sketch partials are KB-sized lattice state, so when the plan-time
+    # estimate × defaultParallelism fits the small-merge budget the
+    # final merge runs single-level — one 1-partition exchange + one
+    # Python task globally, or one grouped exchange + a per-partition
+    # Python loop (instead of one applyInPandas call per group).
+    # Results are identical: the same sorted-blob merge runs either way
+    # and every sketch merge is order-free lattice state (HLL/CMS
+    # byte-identical; KLL/t-digest estimate-equivalent, as before).
+    try:
+        par = partials.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        par = 32
+    small = (estimate_sketch_bytes(kind, params) * max(par, 1)
+             <= _SMALL_MERGE_MAX)
+    if small and not group_cols:
+        def merge_flat(batches):
+            pdfs = [p for p in batches if len(p)]
+            if not pdfs:
+                return
+            yield merge(pd.concat(pdfs, ignore_index=True))
+        return partials.repartition(1).mapInPandas(merge_flat,
+                                                   schema=schema)
+    if small and group_cols:
+        # unpinned partition count: per-task merge cost here scales
+        # with bytes (partition-local pandas loop), so AQE coalescing
+        # the KB-blob exchange to a task or two is the right outcome
+        def merge_local(batches):
+            pdfs = [p for p in batches if len(p)]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            outs = [merge(g) for _, g in
+                    pdf.groupby(group_cols, sort=False, dropna=False)]
+            yield pd.concat(outs, ignore_index=True)
+        return partials.repartition(*group_cols) \
+            .mapInPandas(merge_local, schema=schema)
     if group_cols:
         return partials.groupBy(*group_cols).applyInPandas(merge,
                                                            schema=schema)
