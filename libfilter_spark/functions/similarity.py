@@ -341,13 +341,56 @@ def embedding_near_pairs(df: DataFrame, threshold: float = 0.9,
     star = None
     if max_bucket is not None:
         b, star = cap_buckets_star(b, ["bucket"], id_col, max_bucket)
-    withb = df.join(b, on=id_col)
-    l = withb.select(F.col(id_col).alias("id_a"),
-                     F.col(vec_col).alias("__va"), "bucket")
-    r = withb.select(F.col(id_col).alias("id_b"),
-                     F.col(vec_col).alias("__vb"), "bucket")
-    cand = (l.join(r, on="bucket").where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "__va", "__vb"))
+    withb = df.join(b, on=id_col).select(id_col, vec_col, "bucket")
+
+    schema = StructType([
+        StructField("id_a", df.schema[id_col].dataType),
+        StructField("id_b", df.schema[id_col].dataType),
+        StructField("cosine", DoubleType()),
+    ])
+
+    # per-bucket GEMM instead of a vector-carrying self-join (round 7,
+    # guide §8): the old plan exploded O(n²) candidate ROWS each
+    # carrying BOTH embeddings through the exchange (~1 KB/pair — at
+    # sf0.1's exhaustive bucket that is ~500k pairs ≈ 500 MB moved to
+    # score 64-float dot products). Here every vector crosses the
+    # shuffle ONCE (grouped by bucket), the upper-triangle similarities
+    # come out of a blocked matrix product inside the task, and only
+    # pairs at/above threshold are ever materialized as rows. Per-task
+    # memory: max_bucket × dim floats + a block × bucket similarity
+    # tile. Each vector belongs to exactly one bucket, so no
+    # cross-bucket duplicate pairs exist (same invariant the old
+    # self-join relied on).
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []},
+                                ).astype({"cosine": "float64"})
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        m = _normalize(_matrix(pdf[vec_col]))
+        out_a, out_b, out_c = [], [], []
+        blk = max(1, (1 << 21) // max(n, 1))   # ~16 MB float64 tile
+        for s in range(0, n, blk):
+            sims = m[s:s + blk] @ m.T
+            for bi in range(sims.shape[0]):
+                i = s + bi
+                row = sims[bi, i + 1:]
+                hit = np.flatnonzero(row >= threshold)
+                if hit.size:
+                    out_a.append(np.repeat(ids[i], hit.size))
+                    out_b.append(ids[i + 1:][hit])
+                    out_c.append(row[hit])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []},
+                                ).astype({"cosine": "float64"})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "cosine": np.concatenate(out_c)})
+
+    scored = (withb.groupBy("bucket")
+              .applyInPandas(lambda p: bucket_pairs(p.drop(
+                  columns="bucket")), schema=schema))
     if star is not None:
         vecs = df.select(id_col, vec_col)
         star_v = (star
@@ -358,23 +401,20 @@ def embedding_near_pairs(df: DataFrame, threshold: float = 0.9,
                                     F.col(vec_col).alias("__vb")),
                         on="id_b")
                   .select("id_a", "id_b", "__va", "__vb"))
-        cand = cand.unionAll(star_v).dropDuplicates(["id_a", "id_b"])
 
-    schema = StructType([
-        StructField("id_a", df.schema[id_col].dataType),
-        StructField("id_b", df.schema[id_col].dataType),
-        StructField("cosine", DoubleType()),
-    ])
+        def score(batches: Iterator[pd.DataFrame]) \
+                -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                va = _normalize(_matrix(pdf["__va"]))
+                vb = _normalize(_matrix(pdf["__vb"]))
+                cos = (va * vb).sum(axis=1)
+                yield pd.DataFrame({"id_a": pdf["id_a"],
+                                    "id_b": pdf["id_b"],
+                                    "cosine": cos})
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            va = _normalize(_matrix(pdf["__va"]))
-            vb = _normalize(_matrix(pdf["__vb"]))
-            cos = (va * vb).sum(axis=1)
-            yield pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"],
-                                "cosine": cos})
-
-    return (cand.mapInPandas(score, schema=schema)
-            .where(F.col("cosine") >= threshold))
+        star_scored = star_v.mapInPandas(score, schema=schema)
+        scored = scored.unionAll(star_scored) \
+            .dropDuplicates(["id_a", "id_b"])
+    return scored.where(F.col("cosine") >= threshold)

@@ -108,7 +108,16 @@ def build_block_shards(df: DataFrame, key_col: str = "key",
     spark = df.sparkSession
     num_buckets = max(1, block_bytes_needed(ndv, fpp) // BUCKET_BYTES)
     if n_shards is None:
-        n_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # one shard per CORE, not per shuffle partition (usually 2x
+        # cores): shards are the unit of BUILD parallelism, and halving
+        # them doubles the slice each scatter task owns — measured
+        # 2.38 -> 1.92 s on the 5M-key jvm build at local[32] (fewer,
+        # fatter assemble tasks; same effect on the arrow engine)
+        try:
+            n_shards = int(spark.sparkContext.defaultParallelism)
+        except Exception:
+            n_shards = int(spark.conf.get("spark.sql.shuffle.partitions",
+                                          "32"))
     n_shards = max(1, min(n_shards, num_buckets))
     bounds = _shard_bounds(num_buckets, n_shards)
     params = json.dumps({"ndv": int(ndv), "fpp": float(fpp),
