@@ -1066,17 +1066,21 @@ def q_fpp_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from libfilter_spark.kernels.sizing import block_fpp
     from libfilter_spark.filters import BloomFilter
 
+    from concurrent.futures import ThreadPoolExecutor
+
     li = load_table(spark, sf_dir, "lineitem")
     # cache both sides: five families re-scan them (sha derivation +
-    # dedup would otherwise recompute per family)
+    # dedup would otherwise recompute per family); the two
+    # materializing counts are independent jobs, so they run
+    # concurrently (guide §2.6) instead of back to back
     build = _keyed(
         li.withColumn("__k", F.concat_ws("-", "l_orderkey", "l_linenumber")),
         "__k").dropDuplicates(["key"]).select("key").cache()
-    n_build = build.count()
     absent = _keyed(load_table(spark, sf_dir, "events"), "event_id") \
         .select("key").cache()
-    n_absent = absent.count()
-    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fb, fa = ex.submit(build.count), ex.submit(absent.count)
+        n_build, n_absent = fb.result(), fa.result()
 
     from libfilter_spark.spark.forest import (build_filter_forest,
                                               probe_with_forest)
